@@ -1,0 +1,143 @@
+"""(Convolutional) ImageGPT [1]: a decoder-only Transformer over pixels.
+
+Parity surface:
+/root/reference/pytorch_generative/models/autoregressive/image_gpt.py. Notable
+reference behaviors preserved: the learnable positional embedding is added to the
+*input image* (image_gpt.py:86, 106); each TransformerBlock has internal pre-LN
+residuals AND the model adds an extra skip around every block (image_gpt.py:105-109).
+
+[1]: https://cdn.openai.com/papers/Generative_Pretraining_from_Pixels_V2.pdf
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_generative_tpu import core
+from pytorch_generative_tpu.models import base
+from pytorch_generative_tpu.nn import (
+    CausalAttention,
+    CausalConv2d,
+    ChannelLayerNorm,
+    Conv2d,
+)
+
+
+class TransformerBlock(core.Module):
+    """An ImageGPT Transformer block (pre-LN attention + 4x GELU MLP)."""
+
+    ln1: ChannelLayerNorm
+    ln2: ChannelLayerNorm
+    attn: CausalAttention
+    mlp_conv1: Conv2d
+    mlp_conv2: Conv2d
+
+    def __init__(self, key, n_channels: int, n_attention_heads: int):
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.ln1 = ChannelLayerNorm(n_channels)
+        self.ln2 = ChannelLayerNorm(n_channels)
+        self.attn = CausalAttention(
+            k1, in_channels=n_channels, n_heads=n_attention_heads,
+            embed_channels=n_channels, out_channels=n_channels)
+        self.mlp_conv1 = Conv2d(k2, n_channels, 4 * n_channels, 1)
+        self.mlp_conv2 = Conv2d(k3, 4 * n_channels, n_channels, 1)
+
+    def __call__(self, x):
+        x = x + self.attn(self.ln1(x))
+        h = self.mlp_conv2(jax.nn.gelu(self.mlp_conv1(self.ln2(x))))
+        return x + h
+
+
+class ImageGPT(base.AutoregressiveModel):
+    """The ImageGPT model (operating on images, with per-block output skips)."""
+
+    pos: jax.Array
+    input_conv: CausalConv2d
+    blocks: tuple
+    ln: ChannelLayerNorm
+    out_conv: Conv2d
+
+    def __init__(self, key, in_channels: int = 1, out_channels: int = 1,
+                 in_size: int = 28, n_transformer_blocks: int = 8,
+                 n_attention_heads: int = 4, n_embedding_channels: int = 16,
+                 in_shape=None, sample_fn=None):
+        """Initializes a new ImageGPT instance.
+
+        Args:
+            key: RNG key for parameter init.
+            in_channels / out_channels: Input/output channels.
+            in_size: Side length of (square) inputs, for the positional embedding
+                (overridden by in_shape when given).
+            n_transformer_blocks / n_attention_heads / n_embedding_channels:
+                Transformer hyperparameters.
+            in_shape: (h, w, c) of training images.
+            sample_fn: See the base class.
+        """
+        in_shape = tuple(in_shape) if in_shape else (in_size, in_size, in_channels)
+        super().__init__(in_shape=in_shape, sample_fn=sample_fn)
+        keys = jax.random.split(key, n_transformer_blocks + 2)
+        h, w, c = in_shape
+        self.pos = jnp.zeros((1, h, w, c))
+        self.input_conv = CausalConv2d(
+            keys[0], True, in_channels, n_embedding_channels, 3, padding=1)
+        self.blocks = tuple(
+            TransformerBlock(keys[1 + i], n_embedding_channels, n_attention_heads)
+            for i in range(n_transformer_blocks))
+        self.ln = ChannelLayerNorm(n_embedding_channels)
+        self.out_conv = Conv2d(keys[-1], n_embedding_channels, out_channels, 1)
+
+    def forward(self, x, *, rng=None, training=False):
+        del rng, training
+        x = self.input_conv(x + self.pos)
+        for block in self.blocks:
+            x = x + block(x)
+        return self.out_conv(self.ln(x))
+
+    def sample(self, rng, n_samples=None, conditioned_on=None):
+        """KV-cache incremental decoding: O(C^2 + L*C) per pixel instead of a
+        full forward (see ops/sampling.py; equivalence tested)."""
+        from pytorch_generative_tpu.ops.sampling import image_gpt_sample_fast
+
+        return image_gpt_sample_fast(self, rng, n_samples=n_samples,
+                                     conditioned_on=conditioned_on)
+
+    def sample_naive(self, rng, n_samples=None, conditioned_on=None):
+        """The generic full-forward-per-pixel raster sampler (base class)."""
+        return super().sample(rng, n_samples=n_samples,
+                              conditioned_on=conditioned_on)
+
+
+def reproduce(n_epochs=457, batch_size=64, log_dir="/tmp/run", n_devices=1,
+              device_id=None, debug_loader=None):
+    """Training script with reference defaults (image_gpt.py:113-175): 79.17 nats."""
+    del device_id
+    import optax
+
+    from pytorch_generative_tpu import datasets, models
+    from pytorch_generative_tpu import optim as optim_tpu
+    from pytorch_generative_tpu import trainer
+
+    train_loader, test_loader = debug_loader, debug_loader
+    if train_loader is None:
+        train_loader, test_loader = datasets.get_mnist_loaders(
+            batch_size, dynamically_binarize=True)
+
+    model = models.ImageGPT(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
+        n_transformer_blocks=8, n_attention_heads=2, n_embedding_channels=64,
+        in_shape=(28, 28, 1))
+    optimizer = optim_tpu.adam_multiplicative(5e-3, 0.999977)
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        x, preds = x.reshape(n, -1), preds.reshape(n, -1)
+        loss = optax.sigmoid_binary_cross_entropy(preds, x)
+        return loss.sum(axis=1).mean()
+
+    model_trainer = trainer.Trainer(
+        model=model, loss_fn=loss_fn, optimizer=optimizer,
+        train_loader=train_loader, eval_loader=test_loader, log_dir=log_dir,
+        n_devices=n_devices)
+    model_trainer.interleaved_train_and_eval(n_epochs)
+    return model_trainer

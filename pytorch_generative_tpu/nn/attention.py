@@ -1,0 +1,153 @@
+"""Attention blocks and positional encodings (NHWC pytree modules).
+
+Public surface mirrors /root/reference/pytorch_generative/nn/attention.py; the
+compute path routes through ``ops.attention`` (jnp) or the fused Pallas kernel in
+``ops.attention_pallas`` when running on TPU with supported shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_generative_tpu import core
+from pytorch_generative_tpu.nn.convolution import Conv2d
+from pytorch_generative_tpu.ops import attention as attn_ops
+
+
+def positional_encoding(d_model: int, max_len: int):
+    """1-D sinusoidal positional encodings, shape (max_len, 1, d_model).
+
+    Parity with /root/reference/pytorch_generative/nn/attention.py:18-34 (unused by
+    any model there, kept for API completeness).
+    """
+    position = np.arange(max_len)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2) * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, 1, d_model), np.float32)
+    pe[:, 0, 0::2] = np.sin(position * div_term)
+    pe[:, 0, 1::2] = np.cos(position * div_term)
+    return jnp.asarray(pe)
+
+
+@functools.lru_cache(maxsize=32)
+def _image_positional_encoding_cached(n, h, w):
+    # Cached as NumPy: constants created inside a jit trace must not be cached
+    # across traces (tracer leak); NumPy hoists to a compile-time constant.
+    ys = (np.arange(h, dtype=np.float32) / h) - 0.5
+    xs = (np.arange(w, dtype=np.float32) / w) - 0.5
+    yy = np.broadcast_to(ys[None, :, None, None], (n, h, w, 1))
+    xx = np.broadcast_to(xs[None, None, :, None], (n, h, w, 1))
+    return np.concatenate([yy, xx], axis=-1)
+
+
+def image_positional_encoding(shape):
+    """(x, y) coordinate channels in [-0.5, 0.5), shape (N, H, W, 2) for NHWC input.
+
+    Channel 0 varies along H, channel 1 along W — same ordering as the reference's
+    NCHW version (/root/reference/pytorch_generative/nn/attention.py:37-57).
+    """
+    n, h, w = shape[0], shape[1], shape[2]
+    return _image_positional_encoding_cached(n, h, w)
+
+
+class CausalAttention(core.Module):
+    """Autoregressively-masked multihead self-attention over image pixels.
+
+    Operates on NHWC images; the sequence is the H*W raster scan. q is projected
+    from ``x`` alone; k and v come from one fused 1x1 conv of ``concat(x, extra_x)``
+    so that ``extra_input_channels`` condition the values without influencing the
+    attention pattern (they feed k/v only, not q) — the PixelSNAIL trick
+    (/root/reference/pytorch_generative/nn/attention.py:93-96). With
+    ``mask_center=True`` pixel i attends to pixels < i only and pixel 0's output is
+    exactly zero.
+    """
+
+    q_proj: Conv2d
+    kv_proj: Conv2d
+    out_proj: Conv2d
+    n_heads: int = core.static_field()
+    embed_channels: int = core.static_field()
+    out_channels: int = core.static_field()
+    mask_center: bool = core.static_field()
+    use_flash: bool = core.static_field()
+
+    def __init__(self, key, in_channels: int, n_heads: int = 1,
+                 embed_channels: int | None = None, out_channels: int | None = None,
+                 mask_center: bool = False, extra_input_channels: int = 0,
+                 use_flash: bool | None = None):
+        qk, kvk, pk = jax.random.split(key, 3)
+        self.n_heads = n_heads
+        self.embed_channels = embed_channels or in_channels
+        self.out_channels = out_channels or in_channels
+        self.mask_center = mask_center
+        # Auto: fused Pallas kernel on TPU, jnp reference elsewhere.
+        # PGT_NO_FLASH=1 is the escape hatch back to the XLA path.
+        if use_flash is None:
+            import os
+
+            use_flash = (jax.default_backend() == "tpu"
+                         and os.environ.get("PGT_NO_FLASH") != "1")
+        self.use_flash = use_flash
+        self.q_proj = Conv2d(qk, in_channels, self.embed_channels, 1)
+        self.kv_proj = Conv2d(kvk, in_channels + extra_input_channels,
+                              self.embed_channels + self.out_channels, 1)
+        self.out_proj = Conv2d(pk, self.out_channels, self.out_channels, 1)
+
+    def __call__(self, x, extra_x=None):
+        n, h, w, _ = x.shape
+        q = attn_ops.nhwc_to_heads(self.q_proj(x), self.n_heads)
+        if extra_x is not None:
+            x = jnp.concatenate([x, extra_x], axis=-1)
+        kv = self.kv_proj(x)
+        k = attn_ops.nhwc_to_heads(kv[..., : self.embed_channels], self.n_heads)
+        v = attn_ops.nhwc_to_heads(kv[..., self.embed_channels:], self.n_heads)
+        if self.use_flash:
+            from pytorch_generative_tpu.ops.attention_pallas import (
+                causal_attention_trainable,
+            )
+            out = causal_attention_trainable(q, k, v, self.mask_center)
+        else:
+            out = attn_ops.causal_attention(q, k, v, mask_center=self.mask_center)
+        out = attn_ops.heads_to_nhwc(out, h, w)
+        return self.out_proj(out)
+
+
+class LinearCausalAttention(core.Module):
+    """O(L)-memory linear causal attention (Katharopoulos et al. 2020).
+
+    Parity with /root/reference/pytorch_generative/nn/attention.py:208-275 (which
+    is unused by any reference model and lacks mask_center/extra_x). The sequential
+    hand-written autograd.Function becomes a cumulative-sum formulation that XLA
+    differentiates directly.
+    """
+
+    q_proj: Conv2d
+    kv_proj: Conv2d
+    n_heads: int = core.static_field()
+    embed_channels: int = core.static_field()
+    out_channels: int = core.static_field()
+    feature_fn: object = core.static_field()
+
+    def __init__(self, key, in_channels: int, feature_fn=None, n_heads: int = 1,
+                 embed_channels: int | None = None, out_channels: int | None = None):
+        qk, kvk = jax.random.split(key)
+        self.n_heads = n_heads
+        self.embed_channels = embed_channels or in_channels
+        self.out_channels = out_channels or in_channels
+        self.feature_fn = feature_fn
+        self.q_proj = Conv2d(qk, in_channels, self.embed_channels, 1)
+        self.kv_proj = Conv2d(kvk, in_channels,
+                              self.embed_channels + self.out_channels, 1)
+
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        q = attn_ops.nhwc_to_heads(self.q_proj(x), self.n_heads)
+        kv = self.kv_proj(x)
+        k = attn_ops.nhwc_to_heads(kv[..., : self.embed_channels], self.n_heads)
+        v = attn_ops.nhwc_to_heads(kv[..., self.embed_channels:], self.n_heads)
+        out = attn_ops.linear_causal_attention(q, k, v, feature_fn=self.feature_fn)
+        return attn_ops.heads_to_nhwc(out, h, w)

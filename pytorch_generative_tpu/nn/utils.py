@@ -1,0 +1,127 @@
+"""Vector quantization and misc wrappers (pytree modules).
+
+The VQ codebook's EMA statistics are explicit buffers: the forward pass returns an
+*updated module* instead of mutating registered buffers in place
+(/root/reference/pytorch_generative/nn/utils.py:80-90). Under data parallelism the
+batch statistics are psum'd over the mesh axis so all replicas share one codebook —
+fixing a latent reference defect where DDP never synchronizes those buffers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_generative_tpu import core
+from pytorch_generative_tpu.ops import init as init_ops
+from pytorch_generative_tpu.ops import vq as vq_ops
+
+
+class VectorQuantizer(core.Module):
+    """Quantizes inputs to the nearest codebook embedding (Euclidean).
+
+    Input is NHWC with C == embedding_dim. ``__call__`` returns
+    ``(quantized, loss, new_self)`` — the updated module carries the EMA codebook
+    when ``use_ema and training``. Semantics mirror
+    /root/reference/pytorch_generative/nn/utils.py:16-96: commitment loss
+    ``mse(x, sg(q))`` with weight 1, EMA decay over cluster sizes / embedding sums
+    normalized with eps=1e-5, non-EMA mode adds the embedding loss
+    ``mse(q, sg(x))``, straight-through estimator on the output.
+    """
+
+    embedding: jax.Array  # Trainable iff use_ema=False.
+    ema_embedding: jax.Array | None = core.buffer_field()
+    ema_cluster_size: jax.Array | None = core.buffer_field()
+    ema_embedding_avg: jax.Array | None = core.buffer_field()
+    n_embeddings: int = core.static_field()
+    embedding_dim: int = core.static_field()
+    use_ema: bool = core.static_field()
+    decay: float = core.static_field()
+    axis_name: str | None = core.static_field()
+
+    def __init__(self, key, n_embeddings: int, embedding_dim: int,
+                 use_ema: bool = True, ema_decay: float = 0.99,
+                 axis_name: str | None = None):
+        self.n_embeddings = n_embeddings
+        self.embedding_dim = embedding_dim
+        self.use_ema = use_ema
+        self.decay = ema_decay
+        self.axis_name = axis_name
+        # kaiming_uniform(nonlinearity="linear") on (n_embeddings, dim): fan_in=dim.
+        embedding = init_ops.kaiming_uniform(
+            key, (n_embeddings, embedding_dim), fan_in=embedding_dim,
+            nonlinearity="linear")
+        if use_ema:
+            # The EMA codebook is a buffer, not a parameter. `embedding` itself is
+            # unused in EMA mode but kept zero-size-free for a uniform treedef.
+            self.embedding = jnp.zeros((0,), jnp.float32)
+            self.ema_embedding = embedding
+            self.ema_cluster_size = jnp.zeros((n_embeddings,), jnp.float32)
+            # A distinct buffer (the reference clones too, nn/utils.py:49) —
+            # sharing one array would also break jit argument donation.
+            self.ema_embedding_avg = jnp.copy(embedding)
+        else:
+            self.embedding = embedding
+            self.ema_embedding = None
+            self.ema_cluster_size = None
+            self.ema_embedding_avg = None
+
+    @property
+    def codebook(self):
+        return self.ema_embedding if self.use_ema else self.embedding
+
+    def __call__(self, x, training: bool = False):
+        n, h, w, c = x.shape
+        assert c == self.embedding_dim, "Input channels must equal embedding_dim."
+        flat_x = x.reshape(-1, c)
+
+        codebook = self.codebook
+        idxs = vq_ops.nearest_codebook(flat_x, codebook)
+        one_hot = jax.nn.one_hot(idxs, self.n_embeddings, dtype=flat_x.dtype)
+        quantized = (one_hot @ codebook).reshape(n, h, w, c)
+
+        # Commitment loss (weight 1, as in the reference).
+        loss = jnp.mean((x - jax.lax.stop_gradient(quantized)) ** 2)
+
+        new_self = self
+        if self.use_ema and training:
+            batch_cluster_size = jnp.sum(one_hot, axis=0)
+            batch_embedding_avg = one_hot.T @ flat_x
+            if self.axis_name is not None:
+                batch_cluster_size = jax.lax.psum(batch_cluster_size, self.axis_name)
+                batch_embedding_avg = jax.lax.psum(batch_embedding_avg, self.axis_name)
+            cluster_size = (self.decay * self.ema_cluster_size
+                            + (1 - self.decay) * batch_cluster_size)
+            embedding_avg = (self.decay * self.ema_embedding_avg
+                             + (1 - self.decay) * batch_embedding_avg)
+            new_embedding = embedding_avg / (cluster_size + 1e-5)[:, None]
+            new_self = self.replace(
+                ema_cluster_size=jax.lax.stop_gradient(cluster_size),
+                ema_embedding_avg=jax.lax.stop_gradient(embedding_avg),
+                ema_embedding=jax.lax.stop_gradient(new_embedding),
+            )
+        elif not self.use_ema:
+            loss = loss + jnp.mean((quantized - jax.lax.stop_gradient(x)) ** 2)
+
+        # Straight-through estimator.
+        quantized = x + jax.lax.stop_gradient(quantized - x)
+        return quantized, loss, new_self
+
+
+class ReZeroWrapper(core.Module):
+    """x + alpha * module(x), with trainable scalar alpha initialized to 0.
+
+    Implemented correctly — the reference version crashes on instantiation because
+    it forgets super().__init__()
+    (/root/reference/pytorch_generative/nn/utils.py:99-117).
+    """
+
+    module: core.Module
+    alpha: jax.Array
+
+    def __init__(self, module: core.Module):
+        self.module = module
+        self.alpha = jnp.zeros((1,), jnp.float32)
+
+    def __call__(self, x):
+        return x + self.alpha * self.module(x)

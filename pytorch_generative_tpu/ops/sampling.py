@@ -1,0 +1,137 @@
+"""Fast autoregressive sampling: KV-cache incremental decoding.
+
+The reference samples by running one FULL network forward per pixel
+(/root/reference/pytorch_generative/models/base.py:97-120): O(L) forwards of
+O(L) positions each. The generic TPU port already turns that into a single
+compiled lax.scan (models/base.py here). This module goes further for
+transformer models (ImageGPT): per step, only the *new* position's activations
+are computed — the masked input conv is evaluated on a 3x3 patch, attention
+reads cached K/V, and the MLP/LayerNorm run on one position. Per-step cost
+drops from O(L·C^2 + L^2·C) to O(C^2 + L·C), an ~L-fold reduction (L = H·W =
+784 on MNIST), while remaining numerically equivalent to the naive sampler
+(tested in tests/test_sampling.py).
+
+This realizes the reference's own TODO at
+/root/reference/pytorch_generative/nn/attention.py:196-202 ("we can do O(N)
+work during sampling by storing previous activations").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_conv_at(padded_x, weight, mask, bias, row, col, n):
+    """Evaluates a masked conv at one output position.
+
+    Args:
+        padded_x: (N, H + 2p, W + 2p, Cin) input, already zero-padded.
+        weight: (kh, kw, Cin, Cout) kernel; mask: (kh, kw, 1, 1).
+        row/col: output position (traced); n: batch size.
+    Returns:
+        (N, Cout) activations.
+    """
+    kh, kw = weight.shape[:2]
+    cin = padded_x.shape[-1]
+    patch = jax.lax.dynamic_slice(
+        padded_x, (0, row, col, 0), (n, kh, kw, cin))
+    out = jnp.einsum("nhwc,hwco->no", patch, weight * mask)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _conv1x1(x, conv):
+    """Applies a 1x1 Conv2d module to per-position activations (N, C)."""
+    y = x @ conv.weight[0, 0]
+    if conv.bias is not None:
+        y = y + conv.bias
+    return y
+
+
+def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+    """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
+
+    Args:
+        model: An ImageGPT instance.
+        rng: jax.random key.
+        n_samples / conditioned_on: As in AutoregressiveModel.sample.
+    Returns:
+        (N, H, W, C) samples.
+    """
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+    seq_len = h * w
+    n_blocks = len(model.blocks)
+    attn0 = model.blocks[0].attn
+    n_heads = attn0.n_heads
+    d_k = attn0.embed_channels // n_heads
+    d_v = attn0.out_channels // n_heads
+
+    # The input conv is 3x3 padding=1 -> keep a zero-padded canvas so a (row,
+    # col) output position maps to patch origin (row, col) in padded coords.
+    pad = 1
+    padded_canvas = jnp.pad(conditioned_on, ((0, 0), (pad, pad), (pad, pad),
+                                             (0, 0)))
+    padded_pos = jnp.pad(jnp.broadcast_to(model.pos, (n, h, w, c)),
+                         ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    in_w = model.input_conv.weight
+    in_mask = model.input_conv.mask
+    in_b = model.input_conv.bias
+
+    k_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_k))
+    v_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_v))
+    pos_ids = jnp.arange(seq_len)
+
+    def step(carry, inputs):
+        padded_canvas, k_cache, v_cache = carry
+        i, step_rng = inputs
+        row, col = i // w, i % w
+
+        # Masked 3x3 input conv at (row, col) on canvas + positional embedding.
+        x = _masked_conv_at(padded_canvas + padded_pos, in_w, in_mask, in_b,
+                            row, col, n)
+
+        for b, block in enumerate(model.blocks):
+            x_in = x
+            # --- attention on one query position with cached K/V ---
+            q_in = block.ln1(x_in)
+            q = _conv1x1(q_in, block.attn.q_proj).reshape(n, n_heads, d_k)
+            kv = _conv1x1(q_in, block.attn.kv_proj)
+            k_i = kv[:, : attn0.embed_channels].reshape(n, n_heads, d_k)
+            v_i = kv[:, attn0.embed_channels:].reshape(n, n_heads, d_v)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_i[None, :, :, None, :], (b, 0, 0, i, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_i[None, :, :, None, :], (b, 0, 0, i, 0))
+
+            scores = jnp.einsum("nhd,nhld->nhl", q, k_cache[b]) / jnp.sqrt(
+                jnp.asarray(d_k, x.dtype))
+            scores = jnp.where(pos_ids <= i, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)
+            attn_out = jnp.einsum("nhl,nhlv->nhv", probs, v_cache[b])
+            attn_out = _conv1x1(attn_out.reshape(n, n_heads * d_v),
+                                block.attn.out_proj)
+            x1 = x_in + attn_out
+            # --- MLP ---
+            mlp = _conv1x1(jax.nn.gelu(_conv1x1(block.ln2(x1),
+                                                block.mlp_conv1)),
+                           block.mlp_conv2)
+            block_out = x1 + mlp
+            # Model-level extra skip: x = x + block(x) (image_gpt.py:105-109).
+            x = x_in + block_out
+
+        logits = _conv1x1(model.ln(x), model.out_conv)  # (n, out_c)
+        sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
+        current = jax.lax.dynamic_slice(
+            padded_canvas, (0, row + pad, col + pad, 0), (n, 1, 1, c))
+        merged = jnp.where(current < 0, sampled, current)
+        padded_canvas = jax.lax.dynamic_update_slice(
+            padded_canvas, merged, (0, row + pad, col + pad, 0))
+        return (padded_canvas, k_cache, v_cache), None
+
+    rngs = jax.random.split(rng, seq_len)
+    (padded_canvas, _, _), _ = jax.lax.scan(
+        step, (padded_canvas, k_cache0, v_cache0), (pos_ids, rngs))
+    return padded_canvas[:, pad:-pad, pad:-pad, :]

@@ -1,0 +1,365 @@
+"""Training/evaluation runtime with the reference Trainer's exact contract.
+
+Behavioral parity with /root/reference/pytorch_generative/trainer.py:15-287:
+  * ``loss_fn(inputs, targets, predictions)`` may return a scalar loss or a
+    metrics dict that must contain "loss"; every metric is logged per step,
+    train/eval separately.
+  * The global L2 grad norm is always computed and logged as ``grad_norm``;
+    ``clip_grad_norm`` rescales, ``skip_grad_norm`` drops the whole optimizer
+    step (and LR-schedule tick) when exceeded.
+  * The LR schedule advances per *batch*; per-step LR is logged.
+  * Eval metrics are example-weighted means over the eval set.
+  * Checkpoints ``trainer_state_{epoch}.ckpt`` every ``save_checkpoint_epochs``
+    with auto-resume-from-latest and metric purge after restore.
+  * Every ``sample_epochs`` epochs, 16 samples are generated and logged as an
+    image grid; sampling failures are swallowed.
+  * Cumulative ``speed/examples_per_sec`` / ``speed/millis_per_example``
+    telemetry (the BASELINE.json training metric).
+
+TPU-native differences: the per-batch train/eval steps are jitted pure functions
+over a partitioned (params, buffers, opt_state) pytree with donated arguments;
+device->host metric syncs happen once per epoch, not per step; data parallelism is
+a ``shard_map`` over a device mesh with ICI psum on gradients (replacing DDP/NCCL).
+"""
+
+from __future__ import annotations
+
+import collections
+import functools
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from pytorch_generative_tpu import core, parallel
+from pytorch_generative_tpu.utils import checkpoint as ckpt_utils
+from pytorch_generative_tpu.utils.metrics import MetricsWriter
+
+
+def _get_metrics_dict(loss_or_metrics):
+    metrics = loss_or_metrics
+    if not isinstance(metrics, dict):
+        metrics = {"loss": metrics}
+    assert "loss" in metrics, 'Metrics dictionary does not contain "loss" key.'
+    return metrics
+
+
+def _tree_select(keep, a, b):
+    """Elementwise pytree select: a where keep else b."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(keep, x, y) if x is not None else None, a, b,
+        is_leaf=lambda x: x is None)
+
+
+class Trainer:
+    """Encapsulates the train/eval loop. Stateful: calling
+    ``interleaved_train_and_eval`` twice resumes where it left off."""
+
+    def __init__(
+        self,
+        model,
+        loss_fn,
+        optimizer,
+        train_loader,
+        eval_loader,
+        lr_schedule=None,
+        clip_grad_norm=None,
+        skip_grad_norm=None,
+        log_dir=None,
+        sample_epochs=3,
+        save_checkpoint_epochs=1,
+        n_devices=1,
+        seed=0,
+        use_tensorboard=True,
+    ):
+        """Initializes a new Trainer.
+
+        Args:
+            model: A GenerativeModel (pytree module) to train.
+            loss_fn: fn(inputs, targets, predictions) -> loss or metrics dict
+                containing a "loss" key (reference contract, trainer.py:41-48).
+            optimizer: An optax GradientTransformation, or the (transformation,
+                lr_schedule) tuple returned by pytorch_generative_tpu.optim helpers.
+            train_loader / eval_loader: Iterables of (x, y) NumPy batches.
+            lr_schedule: Optional fn(step) -> lr used for logging (auto-filled when
+                `optimizer` is a tuple).
+            clip_grad_norm: L2 norm to scale gradients to if exceeded.
+            skip_grad_norm: Max L2 norm above which the whole step is skipped.
+            log_dir: Checkpoints + metrics directory (temp dir if None).
+            sample_epochs: Epochs between 16-image sample grids.
+            save_checkpoint_epochs: Epochs between checkpoints.
+            n_devices: Data-parallel device count; > 1 shards the batch over a
+                ``Mesh`` and psums gradients over ICI.
+            seed: Root RNG seed for model forward randomness & sampling.
+            use_tensorboard: Also log to TensorBoard when available.
+        """
+        if (isinstance(optimizer, tuple)
+                and not isinstance(optimizer, optax.GradientTransformation)):
+            optimizer, lr_schedule = optimizer
+        self.loss_fn = loss_fn
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.lr_schedule = lr_schedule
+        self.clip_grad_norm = clip_grad_norm
+        self.skip_grad_norm = skip_grad_norm
+        self.log_dir = log_dir or tempfile.mkdtemp()
+        self.sample_epochs = sample_epochs
+        self.save_checkpoint_epochs = save_checkpoint_epochs
+        self.n_devices = max(int(n_devices or 1), 1)
+
+        self._mesh = None
+        if self.n_devices > 1:
+            self._mesh = parallel.make_mesh(self.n_devices)
+            model = parallel.set_vq_axis_name(model, parallel.DATA_AXIS)
+
+        self._tx = optimizer
+        self._params, self._rest = core.partition(model)
+        self._opt_state = self._tx.init(self._params)
+        if self._mesh is not None:
+            self._params = parallel.replicate(self._params, self._mesh)
+            self._rest = parallel.replicate(self._rest, self._mesh)
+            self._opt_state = parallel.replicate(self._opt_state, self._mesh)
+
+        self._rng = jax.random.PRNGKey(seed)
+        self._step = 0
+        self._epoch = 0
+        self._examples_processed = 0
+        self._time_taken = 0.0
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._sample_batch = None  # built lazily (models may not sample)
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._writer = MetricsWriter(self.log_dir, use_tensorboard=use_tensorboard)
+        self._use_tensorboard = use_tensorboard
+
+    # ------------------------------------------------------------------
+    # Step builders
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        loss_fn = self.loss_fn
+        tx = self._tx
+        clip = self.clip_grad_norm
+        skip = self.skip_grad_norm
+        axis = parallel.DATA_AXIS if self._mesh is not None else None
+
+        def step(params, rest, opt_state, x, y, rng):
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def compute_loss(p):
+                model = core.combine(p, rest)
+                preds, new_model = model.forward_with_state(
+                    x, rng=rng, training=True)
+                metrics = dict(_get_metrics_dict(loss_fn(x, y, preds)))
+                return metrics["loss"], (metrics, new_model)
+
+            grads, (metrics, new_model) = jax.grad(
+                compute_loss, has_aux=True)(params)
+            if axis is not None:
+                grads = parallel.pmean_tree(grads, axis)
+                metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+            norm = optax.global_norm(grads)
+            metrics["grad_norm"] = norm
+            if clip is not None:
+                scale = jnp.minimum(1.0, clip / (norm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            _, new_rest = core.partition(new_model)
+            if skip is not None:
+                keep = norm <= skip
+                new_params = _tree_select(keep, new_params, params)
+                new_opt_state = _tree_select(keep, new_opt_state, opt_state)
+            return new_params, new_rest, new_opt_state, metrics
+
+        if self._mesh is not None:
+            step = jax.shard_map(
+                step, mesh=self._mesh,
+                in_specs=(P(), P(), P(), P(parallel.DATA_AXIS),
+                          P(parallel.DATA_AXIS), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def _build_eval_step(self):
+        loss_fn = self.loss_fn
+
+        def step(params, rest, x, y, rng):
+            model = core.combine(params, rest)
+            preds, _ = model.forward_with_state(x, rng=rng, training=False)
+            return dict(_get_metrics_dict(loss_fn(x, y, preds)))
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+    @property
+    def model(self):
+        return core.combine(self._params, self._rest)
+
+    def _path(self, file_name):
+        return os.path.join(self.log_dir, file_name)
+
+    def _checkpoint_tree(self):
+        return {"params": self._params, "rest": self._rest,
+                "opt_state": self._opt_state, "rng": self._rng}
+
+    def _save_checkpoint(self):
+        if self._epoch % self.save_checkpoint_epochs != 0:
+            return
+        metadata = {
+            "step": self._step,
+            "epoch": self._epoch,
+            "examples_processed": self._examples_processed,
+            "time_taken": self._time_taken,
+        }
+        ckpt_utils.save_checkpoint(
+            self._path(f"trainer_state_{self._epoch}.ckpt"),
+            jax.device_get(self._checkpoint_tree()), metadata)
+
+    def restore_checkpoint(self, epoch=None):
+        """Restores Trainer state from self.log_dir (latest epoch by default)."""
+        epoch = epoch or ckpt_utils.find_latest_epoch(self.log_dir)
+        name = f"trainer_state_{epoch}.ckpt"
+        print(f"Restoring trainer state from checkpoint {name}.")
+        tree, metadata = ckpt_utils.restore_checkpoint(
+            self._path(name), self._checkpoint_tree())
+        self._params, self._rest = tree["params"], tree["rest"]
+        self._opt_state, self._rng = tree["opt_state"], tree["rng"]
+        if self._mesh is not None:
+            self._params = parallel.replicate(self._params, self._mesh)
+            self._rest = parallel.replicate(self._rest, self._mesh)
+            self._opt_state = parallel.replicate(self._opt_state, self._mesh)
+        self._step = metadata["step"]
+        self._epoch = metadata["epoch"]
+        self._examples_processed = metadata["examples_processed"]
+        self._time_taken = metadata["time_taken"]
+        # Purge any metrics logged after the restored step (trainer.py:143-148).
+        self._writer.close()
+        self._writer = MetricsWriter(self.log_dir, purge_step=self._step,
+                                     use_tensorboard=self._use_tensorboard)
+
+    # ------------------------------------------------------------------
+    # Train / eval / sample
+    # ------------------------------------------------------------------
+    def _prepare_batch(self, x, y):
+        x = np.asarray(x, np.float32)
+        y = None if y is None else np.asarray(y)
+        if self._mesh is not None:
+            rem = x.shape[0] % self.n_devices
+            if rem:
+                x = x[: x.shape[0] - rem]
+                y = None if y is None else y[: y.shape[0] - rem]
+            x = parallel.shard_batch(x, self._mesh)
+            if y is not None:
+                y = parallel.shard_batch(y, self._mesh)
+        return x, y
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def train_one_step(self, x, y):
+        """Runs one jitted optimizer step; returns on-device metrics."""
+        x, y = self._prepare_batch(x, y)
+        self._params, self._rest, self._opt_state, metrics = self._train_step(
+            self._params, self._rest, self._opt_state, x, y, self._next_rng())
+        return metrics, x.shape[0]
+
+    def sample_one_batch(self):
+        """Generates 16 samples and logs them; failures are swallowed
+        (trainer.py:212-220)."""
+        try:
+            if self._sample_batch is None:
+                def _sample(params, rest, rng):
+                    return core.combine(params, rest).sample(rng, 16)
+                self._sample_batch = jax.jit(_sample)
+            tensor = self._sample_batch(self._params, self._rest, self._next_rng())
+            self._writer.add_images("sample", np.clip(jax.device_get(tensor), 0, 1),
+                                    self._step)
+        except Exception as e:  # noqa: BLE001
+            print(f"Failed to sample from the model: {e}")
+
+    def interleaved_train_and_eval(self, max_epochs, restore=True):
+        """Trains, evaluating after each epoch. Auto-resumes when restore=True."""
+        if restore:
+            try:
+                self.restore_checkpoint()
+            except FileNotFoundError:
+                print(f"No checkpoint found in {self.log_dir}. "
+                      "Training from scratch.")
+
+        for _ in range(max_epochs - self._epoch):
+            # --- Train (device-synced once per epoch) ---
+            start_time = time.time()
+            pending = []  # (step, n_examples, lr, on-device metrics)
+            epoch_examples = 0
+            last_metrics = None
+            for x, y in self.train_loader:
+                lr = (self.lr_schedule(self._step)
+                      if self.lr_schedule is not None else None)
+                metrics, n = self.train_one_step(x, y)
+                pending.append((self._step, n, lr, metrics))
+                epoch_examples += n
+                self._step += 1
+                last_metrics = metrics
+            if last_metrics is not None:
+                jax.block_until_ready(last_metrics)
+            epoch_time = time.time() - start_time
+
+            # Attribute epoch wall time uniformly across steps for the cumulative
+            # speed telemetry (values converge to the reference's per-batch
+            # accounting while keeping the device pipeline free of host syncs).
+            per_step_time = epoch_time / max(len(pending), 1)
+            for step, n, lr, metrics in pending:
+                metrics = jax.device_get(metrics)
+                if lr is not None:
+                    self._writer.add_scalars("metrics/lr", {"group_0": lr}, step)
+                self._log_metrics(metrics, training=True, step=step)
+                self._examples_processed += n
+                self._time_taken += per_step_time
+                self._writer.add_scalar(
+                    "speed/examples_per_sec",
+                    self._examples_processed / max(self._time_taken, 1e-12), step)
+                self._writer.add_scalar(
+                    "speed/millis_per_example",
+                    self._time_taken / max(self._examples_processed, 1) * 1000, step)
+                self._writer.add_scalar("speed/epoch", self._epoch, step)
+                self._writer.add_scalar("speed/step", step, step)
+
+            # --- Evaluate (example-weighted means, trainer.py:268-278) ---
+            n_examples, sum_metrics = 0, collections.defaultdict(float)
+            for x, y in self.eval_loader:
+                x = np.asarray(x, np.float32)
+                y_arr = None if y is None else np.asarray(y)
+                n_batch = x.shape[0]
+                metrics = jax.device_get(self._eval_step(
+                    self._params, self._rest, jnp.asarray(x), y_arr,
+                    self._next_rng()))
+                n_examples += n_batch
+                for key, metric in metrics.items():
+                    sum_metrics[key] += float(metric) * n_batch
+            if n_examples:
+                eval_metrics = {k: v / n_examples for k, v in sum_metrics.items()}
+                self._log_metrics(eval_metrics, training=False, step=self._step)
+
+            self._epoch += 1
+            self._save_checkpoint()
+            if self._epoch % self.sample_epochs == 0:
+                self.sample_one_batch()
+
+        self._writer.flush()
+
+    def _log_metrics(self, metrics, training, step):
+        for key, metric in metrics.items():
+            self._writer.add_scalars(
+                f"metrics/{key}",
+                {"train" if training else "eval": float(np.asarray(metric))}, step)

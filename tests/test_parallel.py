@@ -1,0 +1,106 @@
+"""Multi-device data-parallelism tests on the simulated 8-device CPU mesh
+(SURVEY.md section 4: the TPU-native answer to testing multi-chip without a
+cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_generative_tpu import core, debug, models, parallel, trainer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _nade_loss(x, _, preds):
+    n = x.shape[0]
+    loss = optax.sigmoid_binary_cross_entropy(
+        preds.reshape(n, -1), x.reshape(n, -1))
+    return loss.sum(axis=1).mean()
+
+
+def _make(n_devices, tmp_path):
+    model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                        in_shape=(4, 4, 1))
+    loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8)
+    return trainer.Trainer(
+        model=model, loss_fn=_nade_loss, optimizer=optax.adam(1e-3),
+        train_loader=loader, eval_loader=loader,
+        log_dir=str(tmp_path / f"dp{n_devices}"), n_devices=n_devices,
+        use_tensorboard=False)
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    """One DP step over 8 shards must equal one single-device step on the same
+    global batch (pmean of shard-mean grads == global-mean grad)."""
+    x = np.random.default_rng(0).random((8, 4, 4, 1)).astype(np.float32)
+
+    t1 = _make(1, tmp_path)
+    m1, _ = t1.train_one_step(x, None)
+    t8 = _make(8, tmp_path)
+    m8, _ = t8.train_one_step(x, None)
+
+    np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                               float(np.asarray(m8["loss"])), rtol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(m1["grad_norm"])),
+                               float(np.asarray(m8["grad_norm"])), rtol=1e-4)
+    p1 = jax.device_get(t1._params)
+    p8 = jax.device_get(t8._params)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_vq_ema_psum_matches_single_device(tmp_path):
+    """The VQ-EMA codebook after a DP step must equal the single-device result —
+    the exact synchronization the reference's DDP silently lacks (SURVEY 2.8)."""
+
+    def loss_fn(x, _, preds):
+        preds, vq_loss = preds
+        return jnp.mean((preds - x) ** 2) + vq_loss
+
+    def make(n_devices):
+        model = models.VectorQuantizedVAE(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+            hidden_channels=8, n_residual_blocks=1, residual_channels=4,
+            n_embeddings=8, embedding_dim=4, in_shape=(8, 8, 1))
+        loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / f"vq{n_devices}"), n_devices=n_devices,
+            use_tensorboard=False)
+
+    x = np.random.default_rng(0).random((8, 8, 8, 1)).astype(np.float32)
+    t1, t8 = make(1), make(8)
+    t1.train_one_step(x, None)
+    t8.train_one_step(x, None)
+    vq1 = jax.device_get(t1.model.quantizer.vq)
+    vq8 = jax.device_get(t8.model.quantizer.vq)
+    np.testing.assert_allclose(np.asarray(vq8.ema_cluster_size),
+                               np.asarray(vq1.ema_cluster_size), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vq8.ema_embedding),
+                               np.asarray(vq1.ema_embedding), atol=1e-5)
+
+
+def test_trainer_trims_ragged_batch(tmp_path):
+    t = _make(8, tmp_path)
+    x = np.random.default_rng(0).random((11, 4, 4, 1)).astype(np.float32)
+    metrics, n = t.train_one_step(x, None)
+    jax.block_until_ready(metrics)
+    assert n == 8  # trimmed to a multiple of the mesh size
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+
+    __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,73 @@
+"""CLI entry point: train any registered model via its reproduce() recipe.
+
+Parity surface: /root/reference/train.py (same 5 flags, with --gpus generalized
+to --devices = TPU chips in the data-parallel mesh). The reference's per-rank
+process spawn + NCCL rendezvous (train.py:27-43) is unnecessary under JAX's
+single-controller model — one process drives the whole mesh — which also fixes
+the reference's broken multi-GPU argument forwarding and its double-train
+fallthrough (train.py:36-44).
+"""
+
+import argparse
+
+from pytorch_generative_tpu.models.autoregressive import (
+    fvbn,
+    made,
+    nade,
+)
+
+MODEL_DICT = {
+    "fvbn": fvbn,
+    "made": made,
+    "nade": nade,
+}
+
+
+def _register_optional_models():
+    """Extends MODEL_DICT as model families land (keeps import errors local)."""
+    import importlib
+
+    for name, module_path in {
+        "gated_pixel_cnn": "pytorch_generative_tpu.models.autoregressive.gated_pixel_cnn",
+        "image_gpt": "pytorch_generative_tpu.models.autoregressive.image_gpt",
+        "pixel_cnn": "pytorch_generative_tpu.models.autoregressive.pixel_cnn",
+        "pixel_snail": "pytorch_generative_tpu.models.autoregressive.pixel_snail",
+        "vae": "pytorch_generative_tpu.models.vae.vae",
+        "beta_vae": "pytorch_generative_tpu.models.vae.beta_vae",
+        "vd_vae": "pytorch_generative_tpu.models.vae.vd_vae",
+        "vq_vae": "pytorch_generative_tpu.models.vae.vq_vae",
+        "vq_vae_2": "pytorch_generative_tpu.models.vae.vq_vae_2",
+        "nice": "pytorch_generative_tpu.models.flow.nice",
+    }.items():
+        try:
+            MODEL_DICT[name] = importlib.import_module(module_path)
+        except ModuleNotFoundError:
+            pass
+
+
+_register_optional_models()
+
+
+def main(args):
+    MODEL_DICT[args.model].reproduce(
+        args.epochs, args.batch_size, args.logdir, args.devices)
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--model", type=str, help="the model to train and evaluate",
+        choices=list(MODEL_DICT.keys()), required=True)
+    parser.add_argument(
+        "--epochs", type=int, help="number of training epochs", default=457)
+    parser.add_argument(
+        "--batch-size", type=int, help="the training and evaluation batch_size",
+        default=128)
+    parser.add_argument(
+        "--logdir", type=str, help="the directory where to log data",
+        default="/tmp/run")
+    parser.add_argument(
+        "--devices", type=int,
+        help="number of TPU devices to data-parallelize over", default=1)
+    args = parser.parse_args()
+    main(args)
