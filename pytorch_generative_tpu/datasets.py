@@ -211,6 +211,82 @@ class DataLoader:
             yield x, y
 
 
+class NativeDataLoader:
+    """Iterable over (x, y) batches backed by the C++ prefetching runtime.
+
+    Same iteration protocol as :class:`DataLoader`, but shuffling, the
+    stochastic transforms, and uint8->float32 conversion run in a native
+    worker pool (csrc/dataloader.cpp) that prefetches batches ahead of the
+    training loop — the TPU build's equivalent of torch DataLoader's native
+    multi-worker pipeline (reference datasets.py:57).
+    """
+
+    TRANSFORM_NONE = 0
+    TRANSFORM_BINARIZE = 1
+    TRANSFORM_DEQUANTIZE = 2
+
+    def __init__(self, xs_uint8, ys=None, batch_size=128, shuffle=False,
+                 transform=TRANSFORM_NONE, pad_to_32=False, seed=0,
+                 n_threads=None, prefetch=2):
+        from pytorch_generative_tpu.utils import native
+
+        self._lib = native.load_library()
+        xs_uint8 = np.ascontiguousarray(xs_uint8, dtype=np.uint8)
+        if xs_uint8.ndim == 3:
+            xs_uint8 = xs_uint8[..., None]
+        self._shape = xs_uint8.shape[1:]
+        self._example_size = int(np.prod(self._shape))
+        self._n = len(xs_uint8)
+        self.batch_size = batch_size
+        self._pad_to_32 = pad_to_32
+        self._has_labels = ys is not None
+        self._epoch = 0
+        ys_arr = (np.ascontiguousarray(ys, dtype=np.int64)
+                  if ys is not None else None)
+        import ctypes
+
+        n_threads = n_threads or min(os.cpu_count() or 1, 8)
+        self._handle = self._lib.pgt_loader_create(
+            xs_uint8.ctypes.data_as(ctypes.c_void_p),
+            (ys_arr.ctypes.data_as(ctypes.c_void_p)
+             if ys_arr is not None else None),
+            self._n, self._example_size, batch_size, int(transform),
+            int(bool(shuffle)), int(seed), int(n_threads), int(prefetch))
+
+    @property
+    def dataset_size(self):
+        return self._n
+
+    def __len__(self):
+        return int(self._lib.pgt_loader_n_batches(self._handle))
+
+    def __iter__(self):
+        import ctypes
+
+        self._lib.pgt_loader_start_epoch(self._handle, self._epoch)
+        self._epoch += 1
+        n_batches = len(self)
+        for _ in range(n_batches):
+            x = np.empty((self.batch_size, self._example_size), np.float32)
+            y = (np.empty((self.batch_size,), np.int64)
+                 if self._has_labels else None)
+            n = self._lib.pgt_loader_next(
+                self._handle, x.ctypes.data_as(ctypes.c_void_p),
+                (y.ctypes.data_as(ctypes.c_void_p) if y is not None else None))
+            if n == 0:
+                return
+            x = x[:n].reshape((n,) + self._shape)
+            if self._pad_to_32:
+                x = resize_to_32(x)
+            yield x, (y[:n] if y is not None else None)
+
+    def __del__(self):
+        try:
+            self._lib.pgt_loader_destroy(self._handle)
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
+
 def _to_float_nhwc(images: np.ndarray) -> np.ndarray:
     """uint8 (N, H, W[, C]) -> float32 NHWC in [0, 1]."""
     if images.ndim == 3:
@@ -223,11 +299,34 @@ def _to_float_nhwc(images: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def get_mnist_loaders(batch_size, dynamically_binarize=False, dequantize=False,
-                      resize_to_32=False, seed=0):
-    """Train/test loaders for MNIST (datasets.py:28-64 in the reference)."""
+                      resize_to_32=False, seed=0, use_native=None):
+    """Train/test loaders for MNIST (datasets.py:28-64 in the reference).
+
+    ``use_native``: route through the C++ prefetching runtime (auto when the
+    toolchain is available; falls back to the NumPy pipeline otherwise).
+    """
     if dynamically_binarize and dequantize:
         raise ValueError("Cannot specify both dynamically_binarize and dequantize.")
     (train_x, train_y), (test_x, test_y) = load_mnist()
+
+    if use_native is None:
+        from pytorch_generative_tpu.utils import native as native_lib
+
+        use_native = native_lib.available()
+    if use_native:
+        transform = NativeDataLoader.TRANSFORM_NONE
+        if dynamically_binarize:
+            transform = NativeDataLoader.TRANSFORM_BINARIZE
+        elif dequantize:
+            transform = NativeDataLoader.TRANSFORM_DEQUANTIZE
+        train_loader = NativeDataLoader(
+            train_x, train_y, batch_size, shuffle=True, transform=transform,
+            pad_to_32=resize_to_32, seed=seed)
+        test_loader = NativeDataLoader(
+            test_x, test_y, batch_size, transform=transform,
+            pad_to_32=resize_to_32, seed=seed + 1)
+        return train_loader, test_loader
+
     train_x, test_x = _to_float_nhwc(train_x), _to_float_nhwc(test_x)
 
     def transform(rng, x):

@@ -76,6 +76,7 @@ class Trainer:
         n_devices=1,
         seed=0,
         use_tensorboard=True,
+        profile_steps=None,
     ):
         """Initializes a new Trainer.
 
@@ -97,6 +98,10 @@ class Trainer:
                 ``Mesh`` and psums gradients over ICI.
             seed: Root RNG seed for model forward randomness & sampling.
             use_tensorboard: Also log to TensorBoard when available.
+            profile_steps: Optional (start, stop) global-step pair; a
+                jax.profiler trace of those steps is written to
+                ``<log_dir>/profile`` (a superset of the reference's
+                throughput-scalar observability, SURVEY.md section 5).
         """
         if (isinstance(optimizer, tuple)
                 and not isinstance(optimizer, optax.GradientTransformation)):
@@ -138,6 +143,8 @@ class Trainer:
         os.makedirs(self.log_dir, exist_ok=True)
         self._writer = MetricsWriter(self.log_dir, use_tensorboard=use_tensorboard)
         self._use_tensorboard = use_tensorboard
+        self.profile_steps = profile_steps
+        self._profiling = False
 
     # ------------------------------------------------------------------
     # Step builders
@@ -304,6 +311,7 @@ class Trainer:
             epoch_examples = 0
             last_metrics = None
             for x, y in self.train_loader:
+                self._maybe_profile()
                 lr = (self.lr_schedule(self._step)
                       if self.lr_schedule is not None else None)
                 metrics, n = self.train_one_step(x, y)
@@ -357,6 +365,18 @@ class Trainer:
                 self.sample_one_batch()
 
         self._writer.flush()
+
+    def _maybe_profile(self):
+        """Starts/stops a jax.profiler trace at the configured global steps."""
+        if self.profile_steps is None:
+            return
+        start, stop = self.profile_steps
+        if not self._profiling and self._step == start:
+            jax.profiler.start_trace(self._path("profile"))
+            self._profiling = True
+        elif self._profiling and self._step >= stop:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     def _log_metrics(self, metrics, training, step):
         for key, metric in metrics.items():
