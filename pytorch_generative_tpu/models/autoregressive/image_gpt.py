@@ -45,7 +45,7 @@ class TransformerBlock(core.Module):
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
-        h = self.mlp_conv2(jax.nn.gelu(self.mlp_conv1(self.ln2(x))))
+        h = self.mlp_conv2(jax.nn.gelu(self.mlp_conv1(self.ln2(x)), approximate=False))
         return x + h
 
 

@@ -63,10 +63,10 @@ class BottleneckBlock(core.Module):
         self.is_residual = is_residual
 
     def __call__(self, x):
-        h = self.conv1(jax.nn.gelu(x))
-        h = self.conv2(jax.nn.gelu(h))
-        h = self.conv3(jax.nn.gelu(h))
-        h = self.conv4(jax.nn.gelu(h))
+        h = self.conv1(jax.nn.gelu(x, approximate=False))
+        h = self.conv2(jax.nn.gelu(h, approximate=False))
+        h = self.conv3(jax.nn.gelu(h, approximate=False))
+        h = self.conv4(jax.nn.gelu(h, approximate=False))
         return x + h if self.is_residual else h
 
 

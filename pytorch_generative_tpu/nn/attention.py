@@ -126,6 +126,13 @@ class LinearCausalAttention(core.Module):
     is unused by any reference model and lacks mask_center/extra_x). The sequential
     hand-written autograd.Function becomes a cumulative-sum formulation that XLA
     differentiates directly.
+
+    Documented divergence (reference defect, do-not-replicate): the reference's
+    denominator einsum (attention.py:267) labels Q/K as "nlhi" although their
+    layout is (n, heads, seq, dim), so its K.cumsum(1) accumulates over *heads*
+    and the normalizer ends up per-position instead of causal-cumulative. This
+    implementation normalizes by sum_{j<=i} phi(q_i).phi(k_j) as in the paper;
+    the numerator matches the reference exactly (tested incl. gradients).
     """
 
     q_proj: Conv2d

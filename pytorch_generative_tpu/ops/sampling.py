@@ -116,7 +116,8 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
             x1 = x_in + attn_out
             # --- MLP ---
             mlp = _conv1x1(jax.nn.gelu(_conv1x1(block.ln2(x1),
-                                                block.mlp_conv1)),
+                                                block.mlp_conv1),
+                                       approximate=False),
                            block.mlp_conv2)
             block_out = x1 + mlp
             # Model-level extra skip: x = x + block(x) (image_gpt.py:105-109).
