@@ -50,6 +50,73 @@ def _conv1x1(x, conv):
     return y
 
 
+def pixel_cnn_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+    """Incremental-decoding sampler for PixelCNN via per-layer activation
+    caching (Ramachandran et al. 2017, "Fast Generation for Convolutional
+    Autoregressive Models").
+
+    Only spatially-mixing layers need caches. In PixelCNN those are the 7x7
+    masked input conv (reads the canvas, already cached by construction) and
+    each residual block's 3x3 causal conv, whose input h1 = relu(conv1(relu(x)))
+    is cached per block. Everything else is pointwise, so per pixel the cost is
+    O(sum_k k^2 * C^2) instead of a full O(H*W) forward — an ~H*W-fold
+    reduction. Exact equivalence with the naive sampler is tested.
+    """
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+
+    in_conv = model.input_conv
+    kh, kw = in_conv.weight.shape[:2]
+    pad_in = kh // 2  # 7x7, padding=3
+    padded_canvas = jnp.pad(
+        conditioned_on, ((0, 0), (pad_in, pad_in), (pad_in, pad_in), (0, 0)))
+
+    # One h1-cache per residual block, zero-padded by 1 for the 3x3 conv.
+    h1_caches = tuple(
+        jnp.zeros((n, h + 2, w + 2, block.conv1.weight.shape[-1]))
+        for block in model.causal_layers)
+
+    def step(carry, inputs):
+        padded_canvas, h1_caches = carry
+        i, step_rng = inputs
+        row, col = i // w, i % w
+
+        x = _masked_conv_at(padded_canvas, in_conv.weight, in_conv.mask,
+                            in_conv.bias, row, col, n)  # (n, 2*res_channels)
+
+        new_caches = []
+        for block, cache in zip(model.causal_layers, h1_caches):
+            # conv2's actual input: relu(conv1(relu(x))) — that's what's cached.
+            h1 = jax.nn.relu(_conv1x1(jax.nn.relu(x), block.conv1))
+            cache = jax.lax.dynamic_update_slice(
+                cache, h1[:, None, None, :], (0, row + 1, col + 1, 0))
+            new_caches.append(cache)
+            h2 = jax.nn.relu(_masked_conv_at(
+                cache, block.conv2.weight, block.conv2.mask, block.conv2.bias,
+                row, col, n))
+            net_out = _conv1x1(h2, block.conv3)
+            # Model adds x + layer(x) where layer(x) = x + net(x)
+            # (pixel_cnn.py:106-110's intentional double residual).
+            x = 2.0 * x + net_out
+
+        logits = _conv1x1(jax.nn.relu(_conv1x1(jax.nn.relu(x),
+                                               model.head_conv1)),
+                          model.head_conv2)
+        sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
+        current = jax.lax.dynamic_slice(
+            padded_canvas, (0, row + pad_in, col + pad_in, 0), (n, 1, 1, c))
+        merged = jnp.where(current < 0, sampled, current)
+        padded_canvas = jax.lax.dynamic_update_slice(
+            padded_canvas, merged, (0, row + pad_in, col + pad_in, 0))
+        return (padded_canvas, tuple(new_caches)), None
+
+    idxs = jnp.arange(h * w)
+    rngs = jax.random.split(rng, h * w)
+    (padded_canvas, _), _ = jax.lax.scan(
+        step, (padded_canvas, h1_caches), (idxs, rngs))
+    return padded_canvas[:, pad_in:-pad_in, pad_in:-pad_in, :]
+
+
 def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
 

@@ -1,1 +1,5 @@
-from pytorch_generative_tpu.utils import checkpoint, metrics  # noqa: F401
+from pytorch_generative_tpu.utils import (  # noqa: F401
+    checkpoint,
+    evaluation,
+    metrics,
+)

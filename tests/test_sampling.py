@@ -25,6 +25,26 @@ def test_image_gpt_fast_sampler_matches_naive():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
 
 
+def test_pixel_cnn_fast_sampler_matches_naive():
+    model = models.PixelCNN(
+        KEY, in_channels=1, out_channels=1, n_residual=2, residual_channels=4,
+        head_channels=4, in_shape=(6, 6, 1),
+        sample_fn=_deterministic_sample_fn)
+    rng = jax.random.PRNGKey(0)
+    naive = model.sample_naive(rng, n_samples=2)
+    fast = model.sample(rng, n_samples=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+    # Conditional inpainting too.
+    batch = (jax.random.uniform(rng, (2, 6, 6, 1)) > 0.5).astype(jnp.float32)
+    conditioned = batch.at[:, 3:, :, :].set(-1)
+    fast = model.sample(rng, conditioned_on=conditioned)
+    naive = model.sample_naive(rng, conditioned_on=conditioned)
+    np.testing.assert_allclose(np.asarray(fast[:, :3]),
+                               np.asarray(batch[:, :3]))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+
 def test_image_gpt_fast_sampler_inpainting():
     model = models.ImageGPT(
         KEY, in_channels=1, out_channels=1, in_size=6, n_transformer_blocks=1,

@@ -49,6 +49,12 @@ _register_optional_models()
 
 
 def main(args):
+    if args.multihost:
+        # Multi-host: one controller per host; the same data mesh then spans
+        # hosts over DCN (replaces the reference's per-rank NCCL rendezvous).
+        import jax
+
+        jax.distributed.initialize()
     MODEL_DICT[args.model].reproduce(
         args.epochs, args.batch_size, args.logdir, args.devices)
 
@@ -69,5 +75,8 @@ if __name__ == "__main__":
     parser.add_argument(
         "--devices", type=int,
         help="number of TPU devices to data-parallelize over", default=1)
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed for multi-host (DCN) meshes")
     args = parser.parse_args()
     main(args)
