@@ -121,6 +121,21 @@ class GatedPixelCNN(base.AutoregressiveModel):
         out = self.head_conv1(jax.nn.relu(skip_connections))
         return self.head_conv2(jax.nn.relu(out))
 
+    def sample(self, rng, n_samples=None, conditioned_on=None):
+        """Incremental two-stream decoding with cached v/h maps (see
+        ops/sampling.py; exact equivalence tested)."""
+        from pytorch_generative_tpu.ops.sampling import (
+            gated_pixel_cnn_sample_fast,
+        )
+
+        return gated_pixel_cnn_sample_fast(self, rng, n_samples=n_samples,
+                                           conditioned_on=conditioned_on)
+
+    def sample_naive(self, rng, n_samples=None, conditioned_on=None):
+        """The generic full-forward-per-pixel raster sampler (base class)."""
+        return super().sample(rng, n_samples=n_samples,
+                              conditioned_on=conditioned_on)
+
 
 def reproduce(n_epochs=457, batch_size=128, log_dir="/tmp/run", n_devices=1,
               device_id=None, debug_loader=None):

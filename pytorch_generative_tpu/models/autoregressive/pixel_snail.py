@@ -124,6 +124,19 @@ class PixelSNAIL(base.AutoregressiveModel):
             x = x + block(x, input_img)
         return self.output_conv2(self.output_conv1(x))
 
+    def sample(self, rng, n_samples=None, conditioned_on=None):
+        """Incremental decoding: conv activation caches + attention KV caches
+        (see ops/sampling.py; exact equivalence tested)."""
+        from pytorch_generative_tpu.ops.sampling import pixel_snail_sample_fast
+
+        return pixel_snail_sample_fast(self, rng, n_samples=n_samples,
+                                       conditioned_on=conditioned_on)
+
+    def sample_naive(self, rng, n_samples=None, conditioned_on=None):
+        """The generic full-forward-per-pixel raster sampler (base class)."""
+        return super().sample(rng, n_samples=n_samples,
+                              conditioned_on=conditioned_on)
+
 
 def reproduce(n_epochs=457, batch_size=128, log_dir="/tmp/run", n_devices=1,
               device_id=None, debug_loader=None):

@@ -117,6 +117,299 @@ def pixel_cnn_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     return padded_canvas[:, pad_in:-pad_in, pad_in:-pad_in, :]
 
 
+def gated_pixel_cnn_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+    """Incremental-decoding sampler for GatedPixelCNN.
+
+    Per layer, the two consecutive *linear* vertical-stack convolutions
+    (1xN then (N//2+1)x1, gated_pixel_cnn.py:62-85) compose into one effective
+    (N//2+1)xN kernel reading strictly-above rows, so the v-stack value at one
+    pixel is a single small einsum over the cached layer-input map. The
+    horizontal stack reads a leftward 1x(N//2+1) window of the cached h-input
+    row. Exact equivalence with the naive sampler is tested.
+    """
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+    layers = (model.input_layer,) + model.gated_layers
+
+    def layer_geometry(layer):
+        k = layer.vstack_1xN.weight.shape[1]
+        p = (k - 1) // 2
+        kk = k // 2 + 1
+        return k, p, kk
+
+    def effective_vkernel(layer):
+        """Composes vstack_1xN (1,k,Ci,Co1) with vstack_Nx1 (kk,1,Co1,Co2)
+        into K_eff (kk,k,Ci,Co2) plus the composed bias (the 1xN bias flows
+        through every row tap of the Nx1 kernel)."""
+        w1 = layer.vstack_1xN.weight[0]      # (k, Ci, Co1)
+        b1 = layer.vstack_1xN.bias
+        w2 = layer.vstack_Nx1.weight[:, 0]   # (kk, Co1, Co2)
+        b_eff = layer.vstack_Nx1.bias
+        k_eff = jnp.einsum("bim,amo->abio", w1, w2)
+        if b1 is not None:
+            b_eff = b_eff + jnp.einsum("m,amo->o", b1, w2)
+        return k_eff, b_eff
+
+    geos = [layer_geometry(layer) for layer in layers]
+    v_kernels = [effective_vkernel(layer) for layer in layers]
+    max_p = max(p for _, p, _ in geos)
+
+    # Caches: layer 0 reads the canvas for both streams; each gated layer
+    # reads the previous layer's v/h outputs. One shared padding (max needs).
+    vpad_t = max(p + 1 for _, p, _ in geos)   # rows above
+    cpad = max_p + 1                           # columns both sides
+    canvas = jnp.pad(conditioned_on,
+                     ((0, 0), (vpad_t, 0), (cpad, cpad), (0, 0)))
+
+    def zero_cache(channels):
+        return jnp.zeros((n, h + vpad_t, w + 2 * cpad, channels))
+
+    v_caches0 = tuple(zero_cache(layer.vstack_1x1.weight.shape[2])
+                      for layer in layers[1:])
+    h_caches0 = tuple(zero_cache(layer.hstack_1xN.weight.shape[2])
+                      for layer in layers[1:])
+
+    def gated(y):
+        half = y.shape[-1] // 2
+        return jnp.tanh(y[..., :half]) * jax.nn.sigmoid(y[..., half:])
+
+    def vpre_link_at(layer, geo, vker, v_cache, row, col):
+        """The v-stack pre-activation + link at (row, col): reads strictly-above
+        rows of the cached layer-input map, so it never sees the current pixel."""
+        k, p, kk = geo
+        k_eff, b_eff = vker
+        # Cache coords: (row + vpad_t, col + cpad) holds (row, col).
+        r0 = row + vpad_t - (p + 1)
+        c0 = col + cpad - p
+        patch = jax.lax.dynamic_slice(
+            v_cache, (0, r0, c0, 0), (n, kk, k, v_cache.shape[-1]))
+        vpre = jnp.einsum("nabc,abco->no", patch, k_eff) + b_eff
+        return vpre, _conv1x1(vpre, layer.link)
+
+    def h_at(layer, geo, link, h_cache, h_val, row, col):
+        """The h-stack output + skip at (row, col). The cached h row includes
+        the current position's value (h_val, written by the caller)."""
+        k, p, kk = geo
+        mc = int(layer.mask_center)
+        hc0 = col + cpad - (p + mc)
+        hpatch = jax.lax.dynamic_slice(
+            h_cache, (0, row + vpad_t, hc0, 0), (n, 1, kk, h_cache.shape[-1]))
+        w_h = layer.hstack_1xN.weight[0]  # (kk, Ci, Co)
+        hpre = link + jnp.einsum("nac,aco->no", hpatch[:, 0], w_h)
+        if layer.hstack_1xN.bias is not None:
+            hpre = hpre + layer.hstack_1xN.bias
+        hg = gated(hpre)
+        skip = _conv1x1(hg, layer.hstack_skip)
+        h_out = _conv1x1(hg, layer.hstack_residual)
+        if not layer.mask_center:
+            h_out = h_out + h_val
+        return h_out, skip
+
+    pos_ids = jnp.arange(h * w)
+
+    def step(carry, inputs):
+        canvas, v_caches, h_caches = carry
+        i, step_rng = inputs
+        row, col = i // w, i % w
+
+        # --- Pass 1 (pre-merge): h stream + skips. Nothing here may read the
+        # current canvas pixel (the v patches are strictly above; the h window
+        # of the input layer is strictly left since it's mask_center=True). ---
+        vpres, links = [], []
+        vpre, link = vpre_link_at(layers[0], geos[0], v_kernels[0], canvas,
+                                  row, col)
+        vpres.append(vpre)
+        links.append(link)
+        h_out, skip_sum = h_at(layers[0], geos[0], link, canvas,
+                               jnp.zeros((n, c)), row, col)
+
+        new_h = []
+        for li, layer in enumerate(layers[1:]):
+            h_cache = jax.lax.dynamic_update_slice(
+                h_caches[li], h_out[:, None, None, :],
+                (0, row + vpad_t, col + cpad, 0))
+            new_h.append(h_cache)
+            vpre, link = vpre_link_at(layer, geos[1 + li], v_kernels[1 + li],
+                                      v_caches[li], row, col)
+            vpres.append(vpre)
+            links.append(link)
+            h_out, skip = h_at(layer, geos[1 + li], link, h_cache, h_out, row,
+                               col)
+            skip_sum = skip_sum + skip
+
+        out = _conv1x1(jax.nn.relu(skip_sum), model.head_conv1)
+        logits = _conv1x1(jax.nn.relu(out), model.head_conv2)
+        sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
+        current = jax.lax.dynamic_slice(
+            canvas, (0, row + vpad_t, col + cpad, 0), (n, 1, 1, c))
+        merged = jnp.where(current < 0, sampled, current)
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, merged, (0, row + vpad_t, col + cpad, 0))
+
+        # --- Pass 2 (post-merge): v-stack outputs at (row, col). These include
+        # vstack_1x1 of the layer input AT the current pixel, so they must see
+        # the merged value (later pixels' naive forwards would). ---
+        v_val = merged.reshape(n, c)
+        new_v = list(v_caches)
+        for li, layer in enumerate(layers):
+            v_out = gated(vpres[li] + _conv1x1(v_val, layer.vstack_1x1))
+            if li < len(layers) - 1:  # the last layer's v output is unused
+                new_v[li] = jax.lax.dynamic_update_slice(
+                    new_v[li], v_out[:, None, None, :],
+                    (0, row + vpad_t, col + cpad, 0))
+            v_val = v_out
+
+        return (canvas, tuple(new_v), tuple(new_h)), None
+
+    rngs = jax.random.split(rng, h * w)
+    (canvas, _, _), _ = jax.lax.scan(
+        step, (canvas, v_caches0, h_caches0), (pos_ids, rngs))
+    return canvas[:, vpad_t:, cpad:-cpad, :]
+
+
+def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+    """Incremental-decoding sampler for PixelSNAIL: per-layer activation caches
+    for the 2x2 residual convs + per-block attention KV caches.
+
+    Correctness subtleties handled exactly:
+      * All conv/residual features at position i depend only on canvas pixels
+        < i (the input conv is mask_center=True), so they can be computed
+        before pixel i is sampled.
+      * The attention k/v at position i read the *raw image* (extra_x) at i,
+        so k_i/v_i are appended only AFTER pixel i is merged into the canvas —
+        matching the naive sampler, where later forwards see the merged value.
+      * mask_center=True attention: position i attends strictly to < i; i=0
+        attends to nothing and contributes exactly out_proj(0) (the bias).
+    Exact equivalence with the naive sampler is tested.
+    """
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+    seq_len = h * w
+    n_blocks = len(model.pixel_snail_blocks)
+    attn0 = model.pixel_snail_blocks[0].attention
+    n_heads = attn0.n_heads
+    d_k = attn0.embed_channels // n_heads
+    d_v = attn0.out_channels // n_heads
+    n_rb = len(model.pixel_snail_blocks[0].residual_blocks)
+    n_channels = model.input_conv.weight.shape[-1]
+
+    in_conv = model.input_conv
+    pad = 1  # 3x3 input conv, padding=1
+    padded_canvas = jnp.pad(conditioned_on,
+                            ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    # Per (block, residual-block): caches of elu(x) and of the mid features
+    # mid = elu(input_conv(elu(x))). 2x2 convs with pad 1 + crop read the
+    # (r-1..r, c-1..c) window, so a 1-pixel top/left zero pad suffices.
+    def zero_maps(channels):
+        return tuple(
+            tuple(jnp.zeros((n, h + 1, w + 1, channels)) for _ in range(n_rb))
+            for _ in range(n_blocks))
+
+    elu_caches0 = zero_maps(n_channels)
+    mid_caches0 = zero_maps(n_channels)
+    k_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_k))
+    v_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_v))
+    pos_ids = jnp.arange(seq_len)
+
+    def conv2x2_at(cache, conv, row, col):
+        """Evaluates a 2x2 conv (pad-1-crop semantics) at (row, col) from a
+        (n, h+1, w+1, C) cache whose (r+1, c+1) entry holds position (r, c)."""
+        patch = jax.lax.dynamic_slice(
+            cache, (0, row, col, 0), (n, 2, 2, cache.shape[-1]))
+        out = jnp.einsum("nhwc,hwco->no", patch, conv.weight)
+        return out + conv.bias if conv.bias is not None else out
+
+    def gated_identity(y):
+        half = y.shape[-1] // 2
+        return y[..., :half] * jax.nn.sigmoid(y[..., half:])
+
+    def step(carry, inputs):
+        padded_canvas, elu_caches, mid_caches, k_cache, v_cache = carry
+        i, step_rng = inputs
+        row, col = i // w, i % w
+        pos_val = jnp.broadcast_to(
+            jnp.stack([row.astype(jnp.float32) / h - 0.5,
+                       col.astype(jnp.float32) / w - 0.5]), (n, 2))
+
+        x = _masked_conv_at(padded_canvas, in_conv.weight, in_conv.mask,
+                            in_conv.bias, row, col, n)  # (n, n_channels)
+
+        new_elu, new_mid = [], []
+        pending_kv = []  # (block_idx, q_input at i) -> kv appended post-merge.
+        for b, block in enumerate(model.pixel_snail_blocks):
+            res = x
+            block_elu, block_mid = [], []
+            for j, rb in enumerate(block.residual_blocks):
+                ecache, mcache = elu_caches[b][j], mid_caches[b][j]
+                ecache = jax.lax.dynamic_update_slice(
+                    ecache, jax.nn.elu(res)[:, None, None, :],
+                    (0, row + 1, col + 1, 0))
+                mid = jax.nn.elu(conv2x2_at(ecache, rb.input_conv, row, col))
+                mcache = jax.lax.dynamic_update_slice(
+                    mcache, mid[:, None, None, :], (0, row + 1, col + 1, 0))
+                out = gated_identity(conv2x2_at(mcache, rb.output_conv,
+                                                row, col))
+                res = res + out
+                block_elu.append(ecache)
+                block_mid.append(mcache)
+            new_elu.append(tuple(block_elu))
+            new_mid.append(tuple(block_mid))
+
+            # Attention at i over cached k/v of positions < i (mask_center).
+            q_in = jnp.concatenate([pos_val, res], axis=-1)
+            q = _conv1x1(q_in, block.attention.q_proj).reshape(n, n_heads, d_k)
+            scores = jnp.einsum("nhd,nhld->nhl", q, k_cache[b]) / jnp.sqrt(
+                jnp.asarray(d_k, x.dtype))
+            scores = jnp.where(pos_ids < i, scores, -jnp.inf)
+            maxval = jnp.max(scores, axis=-1, keepdims=True)
+            maxval = jnp.where(jnp.isfinite(maxval), maxval, 0.0)
+            unnorm = jnp.where(pos_ids < i, jnp.exp(scores - maxval), 0.0)
+            denom = jnp.sum(unnorm, axis=-1, keepdims=True)
+            probs = unnorm / jnp.where(denom == 0.0, 1.0, denom)
+            attn = jnp.einsum("nhl,nhlv->nhv", probs, v_cache[b])
+            attn = _conv1x1(attn.reshape(n, n_heads * d_v),
+                            block.attention.out_proj)
+            pending_kv.append((b, q_in))
+
+            res2 = jax.nn.elu(_conv1x1(jax.nn.elu(res), block.residual_out))
+            attn2 = jax.nn.elu(_conv1x1(jax.nn.elu(attn), block.attention_out))
+            block_out = jax.nn.elu(_conv1x1(jax.nn.elu(res2 + attn2),
+                                            block.out))
+            x = x + block_out
+
+        logits = _conv1x1(_conv1x1(x, model.output_conv1), model.output_conv2)
+        sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
+        current = jax.lax.dynamic_slice(
+            padded_canvas, (0, row + pad, col + pad, 0), (n, 1, 1, c))
+        merged = jnp.where(current < 0, sampled, current)
+        padded_canvas = jax.lax.dynamic_update_slice(
+            padded_canvas, merged, (0, row + pad, col + pad, 0))
+
+        # Append k_i/v_i from the *merged* pixel value (extra_x reads it).
+        merged_val = merged.reshape(n, c)
+        for b, q_in in pending_kv:
+            block = model.pixel_snail_blocks[b]
+            kv_in = jnp.concatenate([q_in, merged_val], axis=-1)
+            kv = _conv1x1(kv_in, block.attention.kv_proj)
+            k_i = kv[:, : attn0.embed_channels].reshape(n, n_heads, d_k)
+            v_i = kv[:, attn0.embed_channels:].reshape(n, n_heads, d_v)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_i[None, :, :, None, :], (b, 0, 0, i, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_i[None, :, :, None, :], (b, 0, 0, i, 0))
+
+        carry = (padded_canvas, tuple(new_elu), tuple(new_mid), k_cache,
+                 v_cache)
+        return carry, None
+
+    rngs = jax.random.split(rng, seq_len)
+    carry0 = (padded_canvas, elu_caches0, mid_caches0, k_cache0, v_cache0)
+    (padded_canvas, _, _, _, _), _ = jax.lax.scan(
+        step, carry0, (pos_ids, rngs))
+    return padded_canvas[:, pad:-pad, pad:-pad, :]
+
+
 def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
 

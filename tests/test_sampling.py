@@ -45,6 +45,43 @@ def test_pixel_cnn_fast_sampler_matches_naive():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
 
 
+def test_gated_pixel_cnn_fast_sampler_matches_naive():
+    model = models.GatedPixelCNN(
+        KEY, in_channels=1, out_channels=1, n_gated=2, gated_channels=4,
+        head_channels=4, in_shape=(6, 6, 1),
+        sample_fn=_deterministic_sample_fn)
+    rng = jax.random.PRNGKey(0)
+    naive = model.sample_naive(rng, n_samples=2)
+    fast = model.sample(rng, n_samples=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-4)
+
+    # Conditional inpainting (post-merge v-cache subtlety).
+    batch = (jax.random.uniform(rng, (2, 6, 6, 1)) > 0.5).astype(jnp.float32)
+    conditioned = batch.at[:, 3:, :, :].set(-1)
+    fast = model.sample(rng, conditioned_on=conditioned)
+    naive = model.sample_naive(rng, conditioned_on=conditioned)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-4)
+
+
+def test_pixel_snail_fast_sampler_matches_naive():
+    model = models.PixelSNAIL(
+        KEY, in_channels=1, out_channels=1, n_channels=4,
+        n_pixel_snail_blocks=2, n_residual_blocks=2, attention_key_channels=2,
+        attention_value_channels=2, in_shape=(6, 6, 1),
+        sample_fn=_deterministic_sample_fn)
+    rng = jax.random.PRNGKey(0)
+    naive = model.sample_naive(rng, n_samples=2)
+    fast = model.sample(rng, n_samples=2)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-4)
+
+    # Conditional inpainting (the extra_x / post-merge KV subtlety).
+    batch = (jax.random.uniform(rng, (2, 6, 6, 1)) > 0.5).astype(jnp.float32)
+    conditioned = batch.at[:, 3:, :, :].set(-1)
+    fast = model.sample(rng, conditioned_on=conditioned)
+    naive = model.sample_naive(rng, conditioned_on=conditioned)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-4)
+
+
 def test_image_gpt_fast_sampler_inpainting():
     model = models.ImageGPT(
         KEY, in_channels=1, out_channels=1, in_size=6, n_transformer_blocks=1,
