@@ -7,3 +7,11 @@ from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     set_vq_axis_name,
     shard_batch,
 )
+from pytorch_generative_tpu.parallel.tp import (  # noqa: F401
+    IMAGE_GPT_TP_RULES,
+    MODEL_AXIS,
+    make_2d_mesh,
+    shard_batch_2d,
+    shard_tree,
+    tree_shardings,
+)

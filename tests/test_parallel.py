@@ -93,6 +93,50 @@ def test_trainer_trims_ragged_batch(tmp_path):
     assert n == 8  # trimmed to a multiple of the mesh size
 
 
+def test_tensor_parallel_matches_single_device(tmp_path):
+    """A Megatron-sharded (data x model) ImageGPT step must match the
+    unsharded single-device step (GSPMD inserts the collectives)."""
+    import optax
+
+    gpt = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                          in_size=8, n_transformer_blocks=2,
+                          n_attention_heads=2, n_embedding_channels=8,
+                          in_shape=(8, 8, 1))
+    params, rest = core.partition(gpt)
+    # SGD: post-update params are a well-conditioned function of the grads
+    # (Adam's first step is ~sign(g)*lr, amplifying reduction-order noise).
+    tx = optax.sgd(0.1)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)),
+                    jnp.float32)
+
+    def loss_fn(p, r, xb):
+        m = core.combine(p, r)
+        preds = m.forward(xb)
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def step(p, r, opt_state, xb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, r, xb)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), loss
+
+    # Single device.
+    p1, loss1 = jax.jit(step)(params, rest, tx.init(params), x)
+
+    # 4 data x 2 model.
+    mesh = parallel.make_2d_mesh(4, 2)
+    p_sh = parallel.shard_tree(params, mesh)
+    r_sh = parallel.shard_tree(rest, mesh)
+    x_sh = parallel.shard_batch_2d(x, mesh)
+    p2, loss2 = jax.jit(step)(p_sh, r_sh, tx.init(p_sh), x_sh)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import sys
 
