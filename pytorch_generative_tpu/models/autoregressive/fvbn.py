@@ -60,6 +60,25 @@ class FullyVisibleBeliefNetwork(base.AutoregressiveModel):
         y = x @ (self.weight * self.mask) + self.bias
         return y.reshape(original_shape)
 
+    def sample(self, rng, n_samples=None, conditioned_on=None):
+        """Per-pixel sampling needs only output column i (one dot product),
+        not the full (D, D) matmul of a forward pass."""
+        conditioned_on = self._get_conditioned_on(n_samples, conditioned_on)
+        shape = conditioned_on.shape
+        x = conditioned_on.reshape(shape[0], -1)
+        masked_w = self.weight * self.mask
+        rngs = jax.random.split(rng, self.n_dims)
+
+        def step(x, inputs):
+            i, step_rng = inputs
+            logits = x @ masked_w[:, i] + self.bias[i]
+            sampled = self.sample_fn(step_rng, logits)
+            x = x.at[:, i].set(jnp.where(x[:, i] < 0, sampled, x[:, i]))
+            return x, None
+
+        x, _ = jax.lax.scan(step, x, (jnp.arange(self.n_dims), rngs))
+        return x.reshape(shape)
+
 
 def reproduce(n_epochs=50, batch_size=512, log_dir="/tmp/run", n_devices=1,
               device_id=None, debug_loader=None):

@@ -103,6 +103,9 @@ class MADE(base.AutoregressiveModel):
         order = jnp.argsort(self.orderings[mask_idx])
         rngs = jax.random.split(sample_rng, self.input_dim)
 
+        if len(self.layers) == 2:
+            return self._sample_flat_incremental(x, mask_idx, order, rngs)
+
         def step(x, inputs):
             dim, step_rng = inputs
             out = self._forward(x, mask_idx)[:, dim]
@@ -111,6 +114,36 @@ class MADE(base.AutoregressiveModel):
             return x, None
 
         x, _ = jax.lax.scan(step, x, (order, rngs))
+        return x
+
+    def _sample_flat_incremental(self, x, mask_idx, order, rngs):
+        """O(hidden) per dimension for single-hidden-layer MADE (the
+        reproduce() config): the hidden pre-activation is maintained as a
+        running sum and updated rank-1 when one input dimension changes, and
+        only the sampled dimension's output row is computed — ~input_dim-fold
+        less work than a full forward per dimension (made.py:119-133)."""
+        w1 = self.layers[0].weight * self.mask_sets[0][mask_idx]
+        b1 = self.layers[0].bias
+        w2 = self.layers[1].weight * self.mask_sets[1][mask_idx]
+        b2 = self.layers[1].bias
+
+        a0 = x @ w1 + (b1 if b1 is not None else 0.0)
+
+        def step(carry, inputs):
+            x, a = carry
+            dim, step_rng = inputs
+            h = jax.nn.relu(a)
+            out = h @ w2[:, dim]
+            if b2 is not None:
+                out = out + b2[dim]
+            sampled = self.sample_fn(step_rng, out)
+            new_val = jnp.where(x[:, dim] < 0, sampled, x[:, dim])
+            delta = new_val - x[:, dim]
+            a = a + delta[:, None] * w1[dim][None, :]
+            x = x.at[:, dim].set(new_val)
+            return (x, a), None
+
+        (x, _), _ = jax.lax.scan(step, (x, a0), (order, rngs))
         return x
 
 

@@ -45,6 +45,36 @@ def test_pixel_cnn_fast_sampler_matches_naive():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
 
 
+def test_made_incremental_sampler_matches_generic():
+    """Single-hidden-layer MADE uses the rank-1 incremental path; it must
+    match the generic full-forward-per-dim scan exactly."""
+    model = models.MADE(KEY, input_dim=16, hidden_dims=[12], n_masks=1,
+                        in_shape=(4, 4, 1), sample_fn=_deterministic_sample_fn)
+    rng = jax.random.PRNGKey(0)
+    fast = model.sample(rng, n_samples=3)
+
+    order = jnp.argsort(model.orderings[0])
+    rngs = jax.random.split(jax.random.split(rng)[1], 16)
+    x = -jnp.ones((3, 16))
+    for step_i in range(16):
+        dim = order[step_i]
+        out = model._forward(x, 0)[:, dim]
+        out = _deterministic_sample_fn(rngs[step_i], out)
+        x = x.at[:, dim].set(jnp.where(x[:, dim] < 0, out, x[:, dim]))
+    np.testing.assert_allclose(np.asarray(fast.reshape(3, 16)), np.asarray(x),
+                               atol=1e-5)
+
+
+def test_fvbn_column_sampler_matches_full_forward():
+    model = models.FullyVisibleBeliefNetwork(
+        KEY, n_dims=16, in_shape=(4, 4, 1),
+        sample_fn=_deterministic_sample_fn)
+    rng = jax.random.PRNGKey(0)
+    fast = model.sample(rng, n_samples=3)
+    naive = models.base.AutoregressiveModel.sample(model, rng, n_samples=3)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+
 def test_gated_pixel_cnn_fast_sampler_matches_naive():
     model = models.GatedPixelCNN(
         KEY, in_channels=1, out_channels=1, n_gated=2, gated_channels=4,
