@@ -74,6 +74,8 @@ class Trainer:
         sample_epochs=3,
         save_checkpoint_epochs=1,
         n_devices=1,
+        mesh_shape=None,
+        tp_rules=None,
         seed=0,
         use_tensorboard=True,
         profile_steps=None,
@@ -95,7 +97,13 @@ class Trainer:
             sample_epochs: Epochs between 16-image sample grids.
             save_checkpoint_epochs: Epochs between checkpoints.
             n_devices: Data-parallel device count; > 1 shards the batch over a
-                ``Mesh`` and psums gradients over ICI.
+                ``Mesh`` and psums gradients over ICI (shard_map path).
+            mesh_shape: Optional (n_data, n_model) for combined data x tensor
+                parallelism over a 2-D mesh via GSPMD sharding annotations
+                (overrides n_devices). Parameters are sharded per ``tp_rules``
+                (parallel/tp.py; default: Megatron MLP rules), the batch over
+                'data', and XLA inserts all collectives.
+            tp_rules: (path regex, PartitionSpec) rules for mesh_shape mode.
             seed: Root RNG seed for model forward randomness & sampling.
             use_tensorboard: Also log to TensorBoard when available.
             profile_steps: Optional (start, stop) global-step pair; a
@@ -118,12 +126,23 @@ class Trainer:
         self.n_devices = max(int(n_devices or 1), 1)
 
         self._mesh = None
-        if self.n_devices > 1:
+        self._mesh2d = None
+        if mesh_shape is not None:
+            n_data, n_model = mesh_shape
+            self._mesh2d = parallel.make_2d_mesh(n_data, n_model)
+            self._tp_rules = tp_rules or parallel.IMAGE_GPT_TP_RULES
+            self.n_devices = n_data  # batch divisibility requirement
+        elif self.n_devices > 1:
             self._mesh = parallel.make_mesh(self.n_devices)
             model = parallel.set_vq_axis_name(model, parallel.DATA_AXIS)
 
         self._tx = optimizer
         self._params, self._rest = core.partition(model)
+        if self._mesh2d is not None:
+            self._params = parallel.shard_tree(self._params, self._mesh2d,
+                                               self._tp_rules)
+            self._rest = parallel.shard_tree(self._rest, self._mesh2d,
+                                             self._tp_rules)
         self._opt_state = self._tx.init(self._params)
         if self._mesh is not None:
             self._params = parallel.replicate(self._params, self._mesh)
@@ -245,6 +264,11 @@ class Trainer:
             self._params = parallel.replicate(self._params, self._mesh)
             self._rest = parallel.replicate(self._rest, self._mesh)
             self._opt_state = parallel.replicate(self._opt_state, self._mesh)
+        elif self._mesh2d is not None:
+            self._params = parallel.shard_tree(self._params, self._mesh2d,
+                                               self._tp_rules)
+            self._rest = parallel.shard_tree(self._rest, self._mesh2d,
+                                             self._tp_rules)
         self._step = metadata["step"]
         self._epoch = metadata["epoch"]
         self._examples_processed = metadata["examples_processed"]
@@ -260,14 +284,19 @@ class Trainer:
     def _prepare_batch(self, x, y):
         x = np.asarray(x, np.float32)
         y = None if y is None else np.asarray(y)
-        if self._mesh is not None:
+        if self._mesh is not None or self._mesh2d is not None:
             rem = x.shape[0] % self.n_devices
             if rem:
                 x = x[: x.shape[0] - rem]
                 y = None if y is None else y[: y.shape[0] - rem]
-            x = parallel.shard_batch(x, self._mesh)
-            if y is not None:
-                y = parallel.shard_batch(y, self._mesh)
+            if self._mesh2d is not None:
+                x = parallel.shard_batch_2d(x, self._mesh2d)
+                if y is not None:
+                    y = parallel.shard_batch_2d(y, self._mesh2d)
+            else:
+                x = parallel.shard_batch(x, self._mesh)
+                if y is not None:
+                    y = parallel.shard_batch(y, self._mesh)
         return x, y
 
     def _next_rng(self):

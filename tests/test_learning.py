@@ -1,0 +1,127 @@
+"""Learning-dynamics tests: each model family must overfit one small batch
+(loss drops substantially under its reproduce() loss/optimizer combo). This is
+the trainability check that shape tests can't give."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_generative_tpu import core, models
+
+KEY = jax.random.PRNGKey(0)
+BATCH = (np.random.default_rng(0).random((4, 8, 8, 1)) < 0.4).astype(np.float32)
+
+
+def _train(model, loss_fn, steps=150, lr=2e-3, rng_forward=False):
+    params, rest = core.partition(model)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    x = jnp.asarray(BATCH)
+
+    def compute(p, rng):
+        m = core.combine(p, rest)
+        preds, _ = m.forward_with_state(x, rng=rng, training=True)
+        return loss_fn(x, preds)
+
+    @jax.jit
+    def step(p, opt_state, rng):
+        loss, grads = jax.value_and_grad(compute)(p, rng)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(steps):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state,
+                                       sub if rng_forward else sub)
+        if first is None:
+            first = float(loss)
+    return first, float(loss)
+
+
+def _bce_sum(x, preds):
+    n = x.shape[0]
+    return optax.sigmoid_binary_cross_entropy(
+        preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+
+def test_pixel_cnn_overfits():
+    model = models.PixelCNN(KEY, in_channels=1, out_channels=1, n_residual=2,
+                            residual_channels=8, head_channels=8,
+                            in_shape=(8, 8, 1))
+    first, last = _train(model, _bce_sum)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_nade_overfits():
+    model = models.NADE(KEY, input_dim=64, hidden_dim=32, in_shape=(8, 8, 1))
+    first, last = _train(model, _bce_sum, steps=300)
+    # NADE's loss has a high floor: its forward emits probabilities that the
+    # reference's loss treats as logits (replicated quirk, see nade.py), so
+    # assert a clear absolute drop rather than a ratio.
+    assert last < first - 10.0, (first, last)
+
+
+def test_image_gpt_overfits():
+    model = models.ImageGPT(KEY, in_channels=1, out_channels=1, in_size=8,
+                            n_transformer_blocks=1, n_attention_heads=2,
+                            n_embedding_channels=8, in_shape=(8, 8, 1))
+    first, last = _train(model, _bce_sum, steps=400, lr=1e-3)
+    assert last < 0.6 * first, (first, last)
+
+
+def test_vae_learns():
+    model = models.VAE(KEY, in_channels=1, out_channels=1, latent_channels=4,
+                       strides=(2,), hidden_channels=8, residual_channels=4,
+                       in_shape=(8, 8, 1))
+
+    def loss_fn(x, preds):
+        recon, kl = preds
+        return (optax.sigmoid_binary_cross_entropy(recon, x).sum((1, 2, 3))
+                + kl).mean()
+
+    first, last = _train(model, loss_fn, rng_forward=True)
+    assert last < 0.8 * first, (first, last)
+
+
+def test_vq_vae_learns():
+    model = models.VectorQuantizedVAE(
+        KEY, in_channels=1, out_channels=1, hidden_channels=8,
+        n_residual_blocks=1, residual_channels=4, n_embeddings=8,
+        embedding_dim=4, in_shape=(8, 8, 1))
+
+    def loss_fn(x, preds):
+        recon, vq_loss = preds
+        return jnp.mean((recon - x) ** 2) + vq_loss
+
+    first, last = _train(model, loss_fn)
+    assert last < 0.5 * first, (first, last)
+
+
+def test_nice_learns():
+    model = models.NICE(KEY, n_features=64, n_coupling_blocks=4,
+                        n_hidden_layers=2, n_hidden_features=32,
+                        in_shape=(8, 8, 1))
+
+    def loss_fn(x, preds):
+        z, log_det_J = preds
+        log_prob = -(jax.nn.softplus(z) + jax.nn.softplus(-z)).sum((1, 2, 3))
+        return -(log_prob + log_det_J).mean()
+
+    first, last = _train(model, loss_fn, lr=1e-3)
+    assert last < first - 5.0, (first, last)  # NLL in nats; big drop expected
+
+
+@pytest.mark.parametrize("cls", [models.GaussianMixtureModel,
+                                 models.BernoulliMixtureModel])
+def test_mixture_models_learn(cls):
+    model = cls(4, 64, in_shape=(8, 8, 1))
+
+    def loss_fn(x, preds):
+        return -preds.reshape(-1).mean()  # maximize log likelihood
+
+    first, last = _train(model, loss_fn, lr=5e-2)
+    assert last < first - 1.0, (first, last)

@@ -137,6 +137,29 @@ def test_tensor_parallel_matches_single_device(tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_trainer_2d_mesh_gspmd(tmp_path):
+    """Trainer with mesh_shape=(4, 2): GSPMD dp x tp training end-to-end."""
+    import optax
+
+    gpt = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                          in_size=8, n_transformer_blocks=1,
+                          n_attention_heads=2, n_embedding_channels=8,
+                          in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    t = trainer.Trainer(model=gpt, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+                        train_loader=loader, eval_loader=loader,
+                        log_dir=str(tmp_path), mesh_shape=(4, 2),
+                        use_tensorboard=False)
+    t.interleaved_train_and_eval(max_epochs=1, restore=False)
+    assert t._step == 1
+
+
 def test_graft_entry_dryrun():
     import sys
 
