@@ -26,6 +26,32 @@ def clear_device_memory():
             pass
 
 
+def upload_files(destination_dir="."):
+    """Interactive file upload (Colab) or a no-op listing locally.
+
+    Parity with the reference's colab-only helper
+    (/root/reference/pytorch_generative/colab_utils.py): inside Colab it opens
+    the upload widget and writes files into destination_dir; elsewhere it
+    returns the files already present (uploads need a browser).
+    """
+    import os
+
+    try:
+        from google.colab import files  # type: ignore
+
+        uploaded = files.upload()
+        paths = []
+        for name, content in uploaded.items():
+            path = os.path.join(destination_dir, name)
+            with open(path, "wb") as f:
+                f.write(content)
+            paths.append(path)
+        return paths
+    except ImportError:
+        return [os.path.join(destination_dir, f)
+                for f in os.listdir(destination_dir)]
+
+
 def load_image(path, grayscale: bool = True):
     """Loads an image file as a float32 array in [0, 1], shape (H, W, C)."""
     img = plt.imread(path).astype(np.float32)

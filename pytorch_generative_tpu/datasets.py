@@ -345,6 +345,34 @@ def get_mnist_loaders(batch_size, dynamically_binarize=False, dequantize=False,
     return train_loader, test_loader
 
 
+class BinarizedMNIST:
+    """The fixed Salakhutdinov-Murray binarization as an indexable dataset.
+
+    API parity with the reference's BinarizedMNIST VisionDataset
+    (/root/reference/pytorch_generative/datasets.py:67-157): splits 'train' /
+    'valid' / 'test', items are (28, 28, 1) float32 arrays in {0, 1}, an
+    optional transform applies per item. (Labels are not provided — this
+    dataset evaluates generative models.)
+    """
+
+    def __init__(self, root=None, split: str = "train", transform=None):
+        assert split in ("train", "valid", "test")
+        if root is not None:
+            os.environ.setdefault("PGT_DATA_DIR", root)
+        self.split = split
+        self.transform = transform
+        self.data = _to_float_nhwc(load_binarized_mnist(split))
+
+    def __getitem__(self, index):
+        img = self.data[index]
+        if self.transform is not None:
+            img = self.transform(img)
+        return img
+
+    def __len__(self):
+        return len(self.data)
+
+
 def get_binarized_mnist_loaders(batch_size, merge_valid_into_train=True, seed=0):
     """Loaders over the fixed Salakhutdinov-Murray binarization.
 

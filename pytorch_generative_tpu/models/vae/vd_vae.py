@@ -177,11 +177,13 @@ class VeryDeepVAE(base.VariationalAutoEncoder):
     biases: tuple
     decoder: tuple
     output_conv: Conv2d
+    remat: bool = core.static_field()
 
     def __init__(self, key, in_channels: int = 1, out_channels: int = 1,
                  input_resolution: int = 32, stack_configs=DEFAULT_MODEL,
                  latent_channels: int = 4, hidden_channels: int = 16,
-                 bottleneck_channels: int = 8, in_shape=None, sample_fn=None):
+                 bottleneck_channels: int = 8, in_shape=None, sample_fn=None,
+                 remat: bool = False):
         """Initializes a new VeryDeepVAE instance.
 
         Args:
@@ -192,7 +194,11 @@ class VeryDeepVAE(base.VariationalAutoEncoder):
             latent_channels / hidden_channels / bottleneck_channels: Widths.
             in_shape: (h, w, c); defaults to (input_resolution, ..., in_channels).
             sample_fn: See the base class.
+            remat: Rematerialize each encoder/decoder stack in the backward
+                pass (jax.checkpoint) — trades recompute FLOPs for activation
+                memory on deep configs.
         """
+        self.remat = remat
         stack_configs = tuple(stack_configs)
         in_shape = tuple(in_shape) if in_shape else (
             input_resolution, input_resolution, in_channels)
@@ -256,21 +262,31 @@ class VeryDeepVAE(base.VariationalAutoEncoder):
         n = x.shape[0]
 
         # Bottom-up encoding.
+        def run_enc(stack, h):
+            return stack(h)
+
+        if self.remat:
+            run_enc = jax.checkpoint(run_enc)
         x = self.input_conv(x)
         mixins = []
         for stack in self.encoder:
-            x, mixin = stack(x)
+            x, mixin = run_enc(stack, x)
             mixins.append(mixin)
 
         # Top-down decoding: start from zeros at the lowest resolution; add the
         # per-resolution bias *before* each stack (which unpools internally).
+        def run_dec(stack, h, mixin, stack_rng):
+            return stack(h, mixin, stack_rng)
+
+        if self.remat:
+            run_dec = jax.checkpoint(run_dec)
         x = jnp.zeros((n,) + self.biases[-1].shape[1:])
         kl_divs = []
         rngs = jax.random.split(rng, len(self.decoder))
         for stack, mixin, bias, stack_rng in zip(
                 self.decoder, reversed(mixins), reversed(self.biases), rngs):
             x = x + bias
-            x, divs = stack(x, mixin, stack_rng)
+            x, divs = run_dec(stack, x, mixin, stack_rng)
             kl_divs.extend(divs)
 
         kl_div = sum(div.sum(axis=(1, 2, 3)) for div in kl_divs)

@@ -168,8 +168,20 @@ class Trainer:
     # ------------------------------------------------------------------
     # Step builders
     # ------------------------------------------------------------------
+    def compute_metrics(self, model, x, y, rng, training):
+        """Computes one batch's metrics; returns (metrics_dict, new_model).
+
+        The overridable seam for custom training/eval computation — the
+        jit-traceable analogue of the reference Trainer's train_one_batch /
+        eval_one_batch hooks (trainer.py:165-171, 195-201). Must be a pure
+        function of its inputs.
+        """
+        preds, new_model = model.forward_with_state(x, rng=rng,
+                                                    training=training)
+        metrics = dict(_get_metrics_dict(self.loss_fn(x, y, preds)))
+        return metrics, new_model
+
     def _build_train_step(self):
-        loss_fn = self.loss_fn
         tx = self._tx
         clip = self.clip_grad_norm
         skip = self.skip_grad_norm
@@ -181,9 +193,8 @@ class Trainer:
 
             def compute_loss(p):
                 model = core.combine(p, rest)
-                preds, new_model = model.forward_with_state(
-                    x, rng=rng, training=True)
-                metrics = dict(_get_metrics_dict(loss_fn(x, y, preds)))
+                metrics, new_model = self.compute_metrics(
+                    model, x, y, rng, training=True)
                 return metrics["loss"], (metrics, new_model)
 
             grads, (metrics, new_model) = jax.grad(
@@ -215,12 +226,10 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
-        loss_fn = self.loss_fn
-
         def step(params, rest, x, y, rng):
             model = core.combine(params, rest)
-            preds, _ = model.forward_with_state(x, rng=rng, training=False)
-            return dict(_get_metrics_dict(loss_fn(x, y, preds)))
+            metrics, _ = self.compute_metrics(model, x, y, rng, training=False)
+            return metrics
 
         return jax.jit(step)
 

@@ -115,6 +115,39 @@ def test_nice_learns():
     assert last < first - 5.0, (first, last)  # NLL in nats; big drop expected
 
 
+def test_vd_vae_remat_matches_no_remat():
+    """jax.checkpoint must not change the math — loss and grads identical."""
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+
+    def make(remat):
+        return models.VeryDeepVAE(
+            KEY, in_channels=1, out_channels=1, input_resolution=8,
+            stack_configs=(StackConfig(1, 1), StackConfig(1, 1)),
+            latent_channels=2, hidden_channels=4, bottleneck_channels=2,
+            in_shape=(8, 8, 1), remat=remat)
+
+    x = jnp.asarray(BATCH)
+    rng = jax.random.PRNGKey(0)
+
+    def loss(model):
+        params, rest = core.partition(model)
+
+        def f(p):
+            m = core.combine(p, rest)
+            recon, kl = m.forward(x, rng=rng)
+            return (optax.sigmoid_binary_cross_entropy(recon, x).sum((1, 2, 3))
+                    + kl).mean()
+
+        val, grads = jax.value_and_grad(f)(params)
+        return float(val), jax.tree_util.tree_leaves(grads)
+
+    v0, g0 = loss(make(False))
+    v1, g1 = loss(make(True))
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 @pytest.mark.parametrize("cls", [models.GaussianMixtureModel,
                                  models.BernoulliMixtureModel])
 def test_mixture_models_learn(cls):
