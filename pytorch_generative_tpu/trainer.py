@@ -25,7 +25,6 @@ a ``shard_map`` over a device mesh with ICI psum on gradients (replacing DDP/NCC
 from __future__ import annotations
 
 import collections
-import functools
 import os
 import tempfile
 import time
@@ -346,7 +345,6 @@ class Trainer:
             # --- Train (device-synced once per epoch) ---
             start_time = time.time()
             pending = []  # (step, n_examples, lr, on-device metrics)
-            epoch_examples = 0
             last_metrics = None
             for x, y in self.train_loader:
                 self._maybe_profile()
@@ -354,7 +352,6 @@ class Trainer:
                       if self.lr_schedule is not None else None)
                 metrics, n = self.train_one_step(x, y)
                 pending.append((self._step, n, lr, metrics))
-                epoch_examples += n
                 self._step += 1
                 last_metrics = metrics
             if last_metrics is not None:

@@ -111,7 +111,6 @@ def test_linear_attention_numerator_forward_and_grad_parity():
     reference's einsum mislabels the heads axis as the sequence axis
     (attention.py:267), so its normalizer is not causal-cumulative — see
     nn/attention.py::LinearCausalAttention's docstring."""
-    from pytorch_generative_tpu.ops import attention as attn_ops
 
     q = RNG.standard_normal((1, 2, 10, 3)).astype(np.float32)
     k = RNG.standard_normal((1, 2, 10, 3)).astype(np.float32)
@@ -137,7 +136,6 @@ def test_linear_attention_numerator_forward_and_grad_parity():
     for got_g, want_g in zip(grads, (qt.grad, kt.grad, vt.grad)):
         np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
                                    atol=1e-4)
-    del attn_ops
 
 
 def test_kde_parity():
