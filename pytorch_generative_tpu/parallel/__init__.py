@@ -7,6 +7,10 @@ from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     set_vq_axis_name,
     shard_batch,
 )
+from pytorch_generative_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention_sharded,
+    ring_causal_attention,
+)
 from pytorch_generative_tpu.parallel.tp import (  # noqa: F401
     IMAGE_GPT_TP_RULES,
     MODEL_AXIS,

@@ -355,7 +355,9 @@ class Trainer:
                 self._step += 1
                 last_metrics = metrics
             if last_metrics is not None:
-                jax.block_until_ready(last_metrics)
+                # Fence with a real host fetch: through remote-device tunnels
+                # block_until_ready can return before execution completes.
+                jax.device_get(last_metrics)
             epoch_time = time.time() - start_time
 
             # Attribute epoch wall time uniformly across steps for the cumulative

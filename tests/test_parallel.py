@@ -137,6 +137,27 @@ def test_tensor_parallel_matches_single_device(tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.parametrize("mask_center", [False, True])
+def test_ring_attention_matches_full(mask_center):
+    """Sequence-sharded ring attention over 8 devices == single-device full
+    attention (incl. mask_center's zeroed first row)."""
+    from pytorch_generative_tpu.ops import attention as attn_ops
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 2, 64, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 64, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 64, 16)), jnp.float32)
+
+    expected = attn_ops.causal_attention(q, k, v, mask_center=mask_center)
+    mesh = parallel.make_mesh(8, axis_name="seq")
+    got = parallel.ring_attention_sharded(q, k, v, mesh,
+                                          mask_center=mask_center)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=2e-5)
+    if mask_center:
+        np.testing.assert_allclose(np.asarray(got[:, :, 0]), 0.0)
+
+
 def test_trainer_2d_mesh_gspmd(tmp_path):
     """Trainer with mesh_shape=(4, 2): GSPMD dp x tp training end-to-end."""
     import optax
