@@ -78,6 +78,7 @@ class Trainer:
         seed=0,
         use_tensorboard=True,
         profile_steps=None,
+        compute_dtype=None,
     ):
         """Initializes a new Trainer.
 
@@ -109,6 +110,10 @@ class Trainer:
                 jax.profiler trace of those steps is written to
                 ``<log_dir>/profile`` (a superset of the reference's
                 throughput-scalar observability, SURVEY.md section 5).
+            compute_dtype: Optional dtype (e.g. jnp.bfloat16) for
+                mixed-precision training: master weights, optimizer state, and
+                the loss stay float32; parameters and inputs are cast for the
+                forward/backward compute (MXU-native bf16).
         """
         if (isinstance(optimizer, tuple)
                 and not isinstance(optimizer, optax.GradientTransformation)):
@@ -122,6 +127,7 @@ class Trainer:
         self.log_dir = log_dir or tempfile.mkdtemp()
         self.sample_epochs = sample_epochs
         self.save_checkpoint_epochs = save_checkpoint_epochs
+        self.compute_dtype = compute_dtype
         self.n_devices = max(int(n_devices or 1), 1)
 
         self._mesh = None
@@ -137,6 +143,13 @@ class Trainer:
 
         self._tx = optimizer
         self._params, self._rest = core.partition(model)
+        # Decouple from the caller's arrays: the jitted step donates its
+        # operands, which would otherwise invalidate the model the user still
+        # holds after the first optimizer step.
+        copy = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.array(x) if hasattr(x, "shape") else x, t,
+            is_leaf=lambda v: v is None)
+        self._params, self._rest = copy(self._params), copy(self._rest)
         if self._mesh2d is not None:
             self._params = parallel.shard_tree(self._params, self._mesh2d,
                                                self._tp_rules)
@@ -167,6 +180,20 @@ class Trainer:
     # ------------------------------------------------------------------
     # Step builders
     # ------------------------------------------------------------------
+    def _cast_for_compute(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dtype = self.compute_dtype
+
+        def cast(x):
+            if x is not None and hasattr(x, "dtype") and \
+                    jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
+
+        return jax.tree_util.tree_map(cast, tree,
+                                      is_leaf=lambda v: v is None)
+
     def compute_metrics(self, model, x, y, rng, training):
         """Computes one batch's metrics; returns (metrics_dict, new_model).
 
@@ -175,8 +202,22 @@ class Trainer:
         eval_one_batch hooks (trainer.py:165-171, 195-201). Must be a pure
         function of its inputs.
         """
+        if self.compute_dtype is not None:
+            model = self._cast_for_compute(model)
+            x = self._cast_for_compute(x)
         preds, new_model = model.forward_with_state(x, rng=rng,
                                                     training=training)
+        if self.compute_dtype is not None:
+            to_f32 = lambda p: (p.astype(jnp.float32)
+                                if hasattr(p, "dtype")
+                                and jnp.issubdtype(p.dtype, jnp.floating)
+                                else p)
+            preds = jax.tree_util.tree_map(to_f32, preds)
+            x = x.astype(jnp.float32)
+            # Buffers come back f32 (binary masks survive exactly; stateful
+            # buffers like VQ-EMA run in compute precision by design).
+            new_model = jax.tree_util.tree_map(to_f32, new_model,
+                                               is_leaf=lambda v: v is None)
         metrics = dict(_get_metrics_dict(self.loss_fn(x, y, preds)))
         return metrics, new_model
 

@@ -16,6 +16,37 @@ class CustomTrainer(trainer.Trainer):
         return metrics, new_model
 
 
+def test_mixed_precision_training(tmp_path):
+    """compute_dtype=bfloat16: master weights stay f32, loss finite and
+    decreasing, grads applied."""
+    import jax.numpy as jnp
+
+    model = models.PixelCNN(jax.random.PRNGKey(0), in_channels=1,
+                            out_channels=1, n_residual=1, residual_channels=4,
+                            head_channels=4, in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=4)
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn,
+                        optimizer=optax.adam(2e-3), train_loader=loader,
+                        eval_loader=loader, log_dir=str(tmp_path),
+                        use_tensorboard=False, compute_dtype=jnp.bfloat16)
+    x = np.random.default_rng(0).random((4, 8, 8, 1)).astype(np.float32)
+    losses = []
+    for _ in range(60):
+        metrics, _ = t.train_one_step(x, None)
+        losses.append(float(np.asarray(jax.device_get(metrics)["loss"])))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # Master weights remain f32.
+    for leaf in jax.tree_util.tree_leaves(t._params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_compute_metrics_override(tmp_path):
     model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
                         in_shape=(4, 4, 1))
