@@ -7,6 +7,11 @@ from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     set_vq_axis_name,
     shard_batch,
 )
+from pytorch_generative_tpu.parallel.pp import (  # noqa: F401
+    image_gpt_pipeline_forward,
+    pipeline_apply,
+    stack_blocks,
+)
 from pytorch_generative_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention_sharded,
     ring_causal_attention,
