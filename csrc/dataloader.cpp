@@ -74,7 +74,7 @@ class DataLoader {
   int64_t Next(float* out_x, int64_t* out_y) {
     std::unique_lock<std::mutex> lock(mu_);
     ready_cv_.wait(lock, [&] {
-      return !queue_.empty() || (produced_ == n_batches_ && queue_.empty());
+      return !queue_.empty() || stop_.load() || produced_ == n_batches_;
     });
     if (queue_.empty()) return 0;
     Batch batch = std::move(queue_.front());
@@ -113,8 +113,19 @@ class DataLoader {
 
  private:
   void Shutdown() {
-    stop_.store(true);
+    {
+      // The store must happen under mu_: a worker that has just evaluated a
+      // wait predicate (seeing stop_ == false) but not yet blocked would
+      // otherwise miss the notification and sleep forever (lost wakeup).
+      std::lock_guard<std::mutex> lock(mu_);
+      stop_.store(true);
+    }
+    // Wake every waiter: workers park on space_cv_ (queue full) AND on
+    // order_cv_ (waiting for their predecessor batch, which after stop_ will
+    // never be enqueued); a consumer may be parked on ready_cv_.
     space_cv_.notify_all();
+    order_cv_.notify_all();
+    ready_cv_.notify_all();
     for (auto& t : workers_) {
       if (t.joinable()) t.join();
     }

@@ -71,3 +71,23 @@ def test_pad_to_32():
     loader = datasets.NativeDataLoader(xs, None, batch_size=4, pad_to_32=True)
     (x, _) = next(iter(loader))
     assert x.shape == (4, 32, 32, 1)
+
+
+def test_shutdown_no_hang_on_abandoned_epochs():
+    """Regression: Shutdown() must wake workers parked on order_cv_ (waiting
+    for a predecessor batch that will never arrive) — previously only
+    space_cv_ was notified, hanging join() on every start_epoch/__del__."""
+    import gc
+    import itertools
+
+    xs, ys = _data(n=256)
+    for trial in range(5):
+        loader = datasets.NativeDataLoader(
+            xs, ys, batch_size=8, shuffle=True, seed=trial,
+            transform=datasets.NativeDataLoader.TRANSFORM_BINARIZE,
+            n_threads=6, prefetch=1)
+        for _ in range(3):  # each __iter__ shuts down the previous epoch
+            for _ in itertools.islice(iter(loader), 2):
+                pass
+        del loader
+        gc.collect()
