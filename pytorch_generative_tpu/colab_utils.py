@@ -17,13 +17,23 @@ def get_device():
     return jax.devices()[0]
 
 
-def clear_device_memory():
-    """Frees cached device buffers (the CUDA empty_gpu_cache equivalent)."""
-    for buf in jax.live_arrays():
-        try:
-            buf.delete()
-        except Exception:  # noqa: BLE001 - best effort, like the reference.
-            pass
+def clear_device_memory(delete_live_arrays: bool = False):
+    """Frees device memory (the CUDA ``empty_gpu_cache`` equivalent).
+
+    By default this only drops jit compilation caches and internal references
+    (safe: live models/optimizer state stay valid), matching the reference's
+    semantics of freeing *unreferenced* cached memory. Pass
+    ``delete_live_arrays=True`` to also delete every live jax array —
+    reclaims all HBM but invalidates any model or array the caller still
+    holds (subsequent use raises a deleted-buffer error).
+    """
+    jax.clear_caches()
+    if delete_live_arrays:
+        for buf in jax.live_arrays():
+            try:
+                buf.delete()
+            except Exception:  # noqa: BLE001 - best effort.
+                pass
 
 
 def upload_files(destination_dir="."):

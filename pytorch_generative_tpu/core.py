@@ -29,9 +29,11 @@ import numpy as np
 
 _STATIC = "pgt_static"
 _BUFFER = "pgt_buffer"
+_STATE = "pgt_state"
 
 
-def field(*, static: bool = False, buffer: bool = False, **kwargs):
+def field(*, static: bool = False, buffer: bool = False, state: bool = False,
+          **kwargs):
     """Declares a Module dataclass field.
 
     Args:
@@ -39,10 +41,15 @@ def field(*, static: bool = False, buffer: bool = False, **kwargs):
             treedef (must be hashable); it is invisible to jit tracing and grad.
         buffer: If True the field holds non-trainable arrays (pytree children that
             `partition` routes to the non-trainable half).
+        state: If True the field is a *stateful* buffer (accumulated statistics
+            like VQ-EMA cluster sizes) that must keep full precision: mixed-
+            precision casts (:func:`cast_floating`) leave it untouched. Implies
+            buffer.
     """
     metadata = dict(kwargs.pop("metadata", None) or {})
     metadata[_STATIC] = static
-    metadata[_BUFFER] = buffer
+    metadata[_BUFFER] = buffer or state
+    metadata[_STATE] = state
     return dataclasses.field(metadata=metadata, **kwargs)
 
 
@@ -54,12 +61,21 @@ def buffer_field(**kwargs):
     return field(buffer=True, **kwargs)
 
 
+def state_field(**kwargs):
+    """A stateful buffer (EMA statistics etc.) exempt from compute-dtype casts."""
+    return field(state=True, **kwargs)
+
+
 def _is_static(f: dataclasses.Field) -> bool:
     return bool(f.metadata.get(_STATIC, False))
 
 
 def _is_buffer(f: dataclasses.Field) -> bool:
     return bool(f.metadata.get(_BUFFER, False))
+
+
+def _is_state(f: dataclasses.Field) -> bool:
+    return bool(f.metadata.get(_STATE, False))
 
 
 class Module:
@@ -82,6 +98,9 @@ class Module:
         cls._static_fields = static_names
         cls._buffer_fields = frozenset(
             f.name for f in fields if _is_buffer(f) and not _is_static(f)
+        )
+        cls._state_fields = frozenset(
+            f.name for f in fields if _is_state(f) and not _is_static(f)
         )
 
         def flatten_with_keys(obj):
@@ -217,6 +236,44 @@ def n_parameters(module) -> int:
         for x in jax.tree_util.tree_leaves(params)
         if hasattr(x, "shape")
     )
+
+
+def cast_floating(value: Any, dtype, cast_state: bool = False):
+    """Casts floating-point arrays in a module tree to ``dtype``.
+
+    Stateful buffers (declared with :func:`state_field`, e.g. VQ-EMA cluster
+    statistics) are left in their stored precision unless ``cast_state=True``:
+    they accumulate across the whole run, so casting them to a 16-bit compute
+    dtype would compound rounding error step over step. Everything else —
+    parameters, constant buffers like causality masks (binary, hence exact in
+    bfloat16) and positional encodings — is cast for MXU-native compute.
+    """
+    import jax.numpy as jnp
+
+    def cast_leaf(x):
+        if x is not None and hasattr(x, "dtype") and \
+                jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    def walk(v, skip):
+        if isinstance(v, Module):
+            cls = type(v)
+            new = object.__new__(cls)
+            for name in cls._child_fields:
+                child_skip = skip or (not cast_state
+                                      and name in cls._state_fields)
+                object.__setattr__(new, name, walk(getattr(v, name), child_skip))
+            for name in cls._static_fields:
+                object.__setattr__(new, name, getattr(v, name))
+            return new
+        if isinstance(v, (list, tuple)):
+            return type(v)(walk(item, skip) for item in v)
+        if isinstance(v, dict):
+            return {k: walk(item, skip) for k, item in v.items()}
+        return v if skip else cast_leaf(v)
+
+    return walk(value, skip=False)
 
 
 def tree_equal(a, b) -> bool:

@@ -30,9 +30,11 @@ class VectorQuantizer(core.Module):
     """
 
     embedding: jax.Array  # Trainable iff use_ema=False.
-    ema_embedding: jax.Array | None = core.buffer_field()
-    ema_cluster_size: jax.Array | None = core.buffer_field()
-    ema_embedding_avg: jax.Array | None = core.buffer_field()
+    # state_field: EMA statistics accumulate over the whole run, so they are
+    # exempt from mixed-precision compute-dtype casts (kept float32).
+    ema_embedding: jax.Array | None = core.state_field()
+    ema_cluster_size: jax.Array | None = core.state_field()
+    ema_embedding_avg: jax.Array | None = core.state_field()
     n_embeddings: int = core.static_field()
     embedding_dim: int = core.static_field()
     use_ema: bool = core.static_field()
@@ -96,15 +98,19 @@ class VectorQuantizer(core.Module):
             quantized, batch_cluster_size, batch_embedding_avg = (
                 vq_quantize_fused(jax.lax.stop_gradient(flat_x),
                                   jax.lax.stop_gradient(codebook)))
-            quantized = quantized.reshape(n, h, w, c)
+            quantized = quantized.astype(x.dtype).reshape(n, h, w, c)
         else:
             idxs = vq_ops.nearest_codebook(flat_x, codebook)
             one_hot = jax.nn.one_hot(idxs, self.n_embeddings,
                                      dtype=flat_x.dtype)
-            quantized = (one_hot @ codebook).reshape(n, h, w, c)
+            quantized = (one_hot @ codebook).astype(x.dtype).reshape(n, h, w, c)
             if self.use_ema and training:
-                batch_cluster_size = jnp.sum(one_hot, axis=0)
-                batch_embedding_avg = one_hot.T @ flat_x
+                # Batch statistics in the stored (f32) precision even under a
+                # 16-bit compute dtype: they feed the long-horizon EMA.
+                stat_dtype = self.ema_cluster_size.dtype
+                batch_cluster_size = jnp.sum(one_hot.astype(stat_dtype), axis=0)
+                batch_embedding_avg = (one_hot.astype(stat_dtype).T
+                                       @ flat_x.astype(stat_dtype))
 
         # Commitment loss (weight 1, as in the reference).
         loss = jnp.mean((x - jax.lax.stop_gradient(quantized)) ** 2)
@@ -114,10 +120,13 @@ class VectorQuantizer(core.Module):
             if self.axis_name is not None:
                 batch_cluster_size = jax.lax.psum(batch_cluster_size, self.axis_name)
                 batch_embedding_avg = jax.lax.psum(batch_embedding_avg, self.axis_name)
+            stat_dtype = self.ema_cluster_size.dtype
             cluster_size = (self.decay * self.ema_cluster_size
-                            + (1 - self.decay) * batch_cluster_size)
+                            + (1 - self.decay)
+                            * batch_cluster_size.astype(stat_dtype))
             embedding_avg = (self.decay * self.ema_embedding_avg
-                             + (1 - self.decay) * batch_embedding_avg)
+                             + (1 - self.decay)
+                             * batch_embedding_avg.astype(stat_dtype))
             new_embedding = embedding_avg / (cluster_size + 1e-5)[:, None]
             new_self = self.replace(
                 ema_cluster_size=jax.lax.stop_gradient(cluster_size),

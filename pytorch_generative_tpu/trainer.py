@@ -72,6 +72,7 @@ class Trainer:
         log_dir=None,
         sample_epochs=3,
         save_checkpoint_epochs=1,
+        keep_checkpoints=None,
         n_devices=1,
         mesh_shape=None,
         tp_rules=None,
@@ -96,6 +97,9 @@ class Trainer:
             log_dir: Checkpoints + metrics directory (temp dir if None).
             sample_epochs: Epochs between 16-image sample grids.
             save_checkpoint_epochs: Epochs between checkpoints.
+            keep_checkpoints: If set, only the newest n checkpoint files are
+                kept on disk (older ones are pruned after each save) — the
+                reference's own TODO at trainer.py:111.
             n_devices: Data-parallel device count; > 1 shards the batch over a
                 ``Mesh`` and psums gradients over ICI (shard_map path).
             mesh_shape: Optional (n_data, n_model) for combined data x tensor
@@ -127,6 +131,7 @@ class Trainer:
         self.log_dir = log_dir or tempfile.mkdtemp()
         self.sample_epochs = sample_epochs
         self.save_checkpoint_epochs = save_checkpoint_epochs
+        self.keep_checkpoints = keep_checkpoints
         self.compute_dtype = compute_dtype
         self.n_devices = max(int(n_devices or 1), 1)
 
@@ -163,6 +168,7 @@ class Trainer:
 
         self._rng = jax.random.PRNGKey(seed)
         self._step = 0
+        self._applied_steps = 0  # optimizer steps actually taken (not skipped)
         self._epoch = 0
         self._examples_processed = 0
         self._time_taken = 0.0
@@ -203,7 +209,10 @@ class Trainer:
         function of its inputs.
         """
         if self.compute_dtype is not None:
-            model = self._cast_for_compute(model)
+            # Cast params and constant buffers for MXU-native compute; stateful
+            # buffers (VQ-EMA statistics, core.state_field) stay f32 so their
+            # long-horizon accumulation never sees 16-bit rounding.
+            model = core.cast_floating(model, self.compute_dtype)
             x = self._cast_for_compute(x)
         preds, new_model = model.forward_with_state(x, rng=rng,
                                                     training=training)
@@ -214,8 +223,8 @@ class Trainer:
                                 else p)
             preds = jax.tree_util.tree_map(to_f32, preds)
             x = x.astype(jnp.float32)
-            # Buffers come back f32 (binary masks survive exactly; stateful
-            # buffers like VQ-EMA run in compute precision by design).
+            # Restore master precision on returned state (exact for binary
+            # masks; a no-op for the state_field buffers, which stayed f32).
             new_model = jax.tree_util.tree_map(to_f32, new_model,
                                                is_leaf=lambda v: v is None)
         metrics = dict(_get_metrics_dict(self.loss_fn(x, y, preds)))
@@ -266,11 +275,29 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
+        axis = parallel.DATA_AXIS if self._mesh is not None else None
+
         def step(params, rest, x, y, rng):
+            if axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
             model = core.combine(params, rest)
             metrics, _ = self.compute_metrics(model, x, y, rng, training=False)
+            if axis is not None:
+                # Equal-size shards (the batch remainder is trimmed), so the
+                # pmean of per-shard means is the global batch mean.
+                metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
             return metrics
 
+        if self._mesh is not None:
+            # Evaluation scales over the mesh like training: batch sharded on
+            # 'data', metrics pmean'd over ICI (the reference evaluates
+            # replicated, trainer.py:268-278).
+            step = jax.shard_map(
+                step, mesh=self._mesh,
+                in_specs=(P(), P(), P(parallel.DATA_AXIS),
+                          P(parallel.DATA_AXIS), P()),
+                out_specs=P(),
+                check_vma=False)
         return jax.jit(step)
 
     # ------------------------------------------------------------------
@@ -292,6 +319,7 @@ class Trainer:
             return
         metadata = {
             "step": self._step,
+            "applied_steps": self._applied_steps,
             "epoch": self._epoch,
             "examples_processed": self._examples_processed,
             "time_taken": self._time_taken,
@@ -299,6 +327,22 @@ class Trainer:
         ckpt_utils.save_checkpoint(
             self._path(f"trainer_state_{self._epoch}.ckpt"),
             jax.device_get(self._checkpoint_tree()), metadata)
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self):
+        """Keeps only the newest ``keep_checkpoints`` checkpoint files
+        (the reference's TODO at trainer.py:111)."""
+        if self.keep_checkpoints is None:
+            return
+        import glob
+        import re
+
+        files = glob.glob(self._path("trainer_state_*.ckpt"))
+        by_epoch = sorted(
+            (int(re.findall(r"\d+", os.path.basename(f))[0]), f)
+            for f in files)
+        for _, path in by_epoch[: max(0, len(by_epoch) - self.keep_checkpoints)]:
+            os.remove(path)
 
     def restore_checkpoint(self, epoch=None):
         """Restores Trainer state from self.log_dir (latest epoch by default)."""
@@ -319,6 +363,7 @@ class Trainer:
             self._rest = parallel.shard_tree(self._rest, self._mesh2d,
                                              self._tp_rules)
         self._step = metadata["step"]
+        self._applied_steps = metadata.get("applied_steps", metadata["step"])
         self._epoch = metadata["epoch"]
         self._examples_processed = metadata["examples_processed"]
         self._time_taken = metadata["time_taken"]
@@ -385,14 +430,12 @@ class Trainer:
         for _ in range(max_epochs - self._epoch):
             # --- Train (device-synced once per epoch) ---
             start_time = time.time()
-            pending = []  # (step, n_examples, lr, on-device metrics)
+            pending = []  # (step, n_examples, on-device metrics)
             last_metrics = None
             for x, y in self.train_loader:
                 self._maybe_profile()
-                lr = (self.lr_schedule(self._step)
-                      if self.lr_schedule is not None else None)
                 metrics, n = self.train_one_step(x, y)
-                pending.append((self._step, n, lr, metrics))
+                pending.append((self._step, n, metrics))
                 self._step += 1
                 last_metrics = metrics
             if last_metrics is not None:
@@ -405,10 +448,20 @@ class Trainer:
             # speed telemetry (values converge to the reference's per-batch
             # accounting while keeping the device pipeline free of host syncs).
             per_step_time = epoch_time / max(len(pending), 1)
-            for step, n, lr, metrics in pending:
+            for step, n, metrics in pending:
                 metrics = jax.device_get(metrics)
-                if lr is not None:
+                if self.lr_schedule is not None:
+                    # The LR actually applied at this step: the schedule inside
+                    # opt_state only advances when the update is not skipped,
+                    # so index by applied steps, not the raw batch counter
+                    # (matches the reference's actual param_group lr).
+                    lr = float(self.lr_schedule(self._applied_steps))
                     self._writer.add_scalars("metrics/lr", {"group_0": lr}, step)
+                applied = True
+                if self.skip_grad_norm is not None and "grad_norm" in metrics:
+                    applied = float(metrics["grad_norm"]) <= self.skip_grad_norm
+                if applied:
+                    self._applied_steps += 1
                 self._log_metrics(metrics, training=True, step=step)
                 self._examples_processed += n
                 self._time_taken += per_step_time
@@ -424,9 +477,10 @@ class Trainer:
             # --- Evaluate (example-weighted means, trainer.py:268-278) ---
             n_examples, sum_metrics = 0, collections.defaultdict(float)
             for x, y in self.eval_loader:
-                x = np.asarray(x, np.float32)
-                y_arr = None if y is None else np.asarray(y)
+                x, y_arr = self._prepare_batch(x, y)
                 n_batch = x.shape[0]
+                if n_batch == 0:
+                    continue
                 metrics = jax.device_get(self._eval_step(
                     self._params, self._rest, jnp.asarray(x), y_arr,
                     self._next_rng()))

@@ -68,3 +68,23 @@ def test_n_parameters():
     assert core.n_parameters(lin) == 4 * 3 + 3
     ml = nn.MaskedLinear(jax.random.PRNGKey(0), 4, 3)
     assert core.n_parameters(ml) == 4 * 3 + 3  # mask buffer not counted
+
+
+def test_cast_floating_skips_state_fields():
+    """core.cast_floating casts params/constant buffers but leaves stateful
+    (state_field) buffers in stored precision — the mixed-precision contract."""
+    import jax.numpy as jnp
+
+    from pytorch_generative_tpu import nn
+
+    vq = nn.VectorQuantizer(jax.random.PRNGKey(0), n_embeddings=4,
+                            embedding_dim=2)
+    cast = core.cast_floating(vq, jnp.bfloat16)
+    assert cast.ema_embedding.dtype == jnp.float32
+    assert cast.ema_cluster_size.dtype == jnp.float32
+    assert cast.ema_embedding_avg.dtype == jnp.float32
+    # Non-state floating leaves are cast.
+    assert cast.embedding.dtype == jnp.bfloat16
+    # cast_state=True casts everything.
+    full = core.cast_floating(vq, jnp.bfloat16, cast_state=True)
+    assert full.ema_embedding.dtype == jnp.bfloat16

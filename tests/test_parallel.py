@@ -223,3 +223,112 @@ def test_graft_entry_dryrun():
     assert out.shape == args[0].shape
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_data_parallel_eval_matches_single_device(tmp_path):
+    """The sharded eval step (batch on 'data', metrics pmean'd) must equal
+    the single-device eval on the same global batch."""
+    x = np.random.default_rng(0).random((8, 4, 4, 1)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+
+    t1, t8 = _make(1, tmp_path), _make(8, tmp_path)
+    x1, _ = t1._prepare_batch(x, None)
+    m1 = jax.device_get(t1._eval_step(t1._params, t1._rest,
+                                      jnp.asarray(x1), None, rng))
+    x8, _ = t8._prepare_batch(x, None)
+    m8 = jax.device_get(t8._eval_step(t8._params, t8._rest, x8, None, rng))
+    np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                               float(np.asarray(m8["loss"])), rtol=1e-5)
+
+
+def _tiny_dp_models():
+    key = jax.random.PRNGKey(0)
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+
+    return [
+        ("gated_pixel_cnn", lambda: models.GatedPixelCNN(
+            key, in_channels=1, out_channels=1, n_gated=1, gated_channels=2,
+            head_channels=1, in_shape=(8, 8, 1)), "bce"),
+        ("pixel_snail", lambda: models.PixelSNAIL(
+            key, in_channels=1, out_channels=1, n_channels=2,
+            n_pixel_snail_blocks=1, n_residual_blocks=1,
+            attention_key_channels=1, attention_value_channels=1,
+            in_shape=(8, 8, 1)), "bce"),
+    ]
+
+
+@pytest.mark.parametrize("name,make_model,loss_kind", _tiny_dp_models(),
+                         ids=[n for n, _, _ in _tiny_dp_models()])
+def test_dp_step_matches_single_device_more_models(name, make_model,
+                                                   loss_kind, tmp_path):
+    """One DP step == one single-device step for the model families that were
+    previously untested under the mesh (GatedPixelCNN's pad/crop streams,
+    PixelSNAIL's attention)."""
+    import optax
+
+    del loss_kind
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    def run(n_devices):
+        loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+        t = trainer.Trainer(
+            model=make_model(), loss_fn=loss_fn, optimizer=optax.sgd(0.1),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / f"{name}{n_devices}"),
+            n_devices=n_devices, use_tensorboard=False)
+        x = (np.random.default_rng(0).random((8, 8, 8, 1)) > 0.5).astype(
+            np.float32)
+        metrics, _ = t.train_one_step(x, None)
+        return (float(np.asarray(jax.device_get(metrics)["loss"])),
+                jax.device_get(t._params))
+
+    loss1, p1 = run(1)
+    loss8, p8 = run(8)
+    np.testing.assert_allclose(loss1, loss8, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_vd_vae_trains_under_data_parallelism(tmp_path):
+    """VD-VAE (stochastic forward: per-shard reparam noise, so no exact
+    single-device equality) trains and evaluates under the 8-device mesh."""
+    import optax
+
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+
+    model = models.VeryDeepVAE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+        input_resolution=8, stack_configs=(StackConfig(1, 1),
+                                           StackConfig(1, 1)),
+        latent_channels=1, hidden_channels=8, bottleneck_channels=1,
+        in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+
+    def loss_fn(x, _, preds):
+        preds, kl_div = preds
+        n = x.shape[0]
+        recon = optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+        return {"loss": recon + jnp.mean(kl_div), "kl_div": jnp.mean(kl_div)}
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn,
+                        optimizer=optax.adam(1e-3), train_loader=loader,
+                        eval_loader=loader, log_dir=str(tmp_path),
+                        n_devices=8, use_tensorboard=False)
+    before = jax.device_get(t._params)
+    t.interleaved_train_and_eval(max_epochs=1, restore=False)
+    assert not core.tree_equal(before, jax.device_get(t._params))
+
+
+def test_multihost_flag_single_host_noop():
+    """--multihost on a single host (no coordinator env) must be a no-op, not
+    a crash — the reference's counterpart path is its broken spawn
+    (reference train.py:27-43)."""
+    import train as train_cli
+
+    assert train_cli.maybe_init_multihost() is False

@@ -123,3 +123,65 @@ def test_debug_loader_wrappers():
     one_batch = debug.OneBatchLoaderWrapper(loader)
     batches = list(one_batch)
     assert len(batches) == 1 and batches[0][0].shape == (4, 4)
+
+
+def test_keep_checkpoints_prunes_old_files(tmp_path):
+    """Trainer(keep_checkpoints=n) keeps only the newest n checkpoints —
+    the reference's own TODO (reference trainer.py:111)."""
+    model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                        in_shape=(4, 4, 1))
+    loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=2)
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn,
+                        optimizer=optax.adam(1e-3), train_loader=loader,
+                        eval_loader=loader, log_dir=str(tmp_path),
+                        keep_checkpoints=2, sample_epochs=100,
+                        use_tensorboard=False)
+    t.interleaved_train_and_eval(max_epochs=5, restore=False)
+    ckpts = sorted(glob.glob(os.path.join(str(tmp_path),
+                                          "trainer_state_*.ckpt")))
+    assert len(ckpts) == 2
+    assert ckpts[0].endswith("trainer_state_4.ckpt")
+    assert ckpts[1].endswith("trainer_state_5.ckpt")
+    # Restore still finds the latest surviving checkpoint.
+    t2 = trainer.Trainer(model=model, loss_fn=loss_fn,
+                         optimizer=optax.adam(1e-3), train_loader=loader,
+                         eval_loader=loader, log_dir=str(tmp_path),
+                         use_tensorboard=False)
+    t2.restore_checkpoint()
+    assert t2._epoch == 5
+
+
+def test_logged_lr_tracks_applied_steps(tmp_path):
+    """When skip_grad_norm drops steps, the optax schedule inside opt_state
+    does not advance — the logged LR must track applied steps, not the raw
+    batch counter (the reference logs the actual param_group lr)."""
+    schedule = lambda step: 1e-3 * (0.5 ** step)
+
+    def run(log_dir, skip):
+        t = _make_trainer(log_dir, skip_grad_norm=skip)
+        t.lr_schedule = schedule
+        t.interleaved_train_and_eval(max_epochs=3, restore=False)
+        records = [json.loads(line)
+                   for line in open(os.path.join(log_dir, "metrics.jsonl"))]
+        return [r for r in records if r["tag"] == "metrics/lr"]
+
+    # Every step skipped (threshold 1e-12): the LR must stay at schedule(0).
+    skipped = run(str(tmp_path / "skip"), 1e-12)
+    assert len(skipped) >= 2
+    vals = [list(v for k, v in r.items() if k not in ("tag", "step"))[0]
+            for r in skipped]
+    vals = [v["group_0"] if isinstance(v, dict) else v for v in vals]
+    np.testing.assert_allclose(vals, schedule(0))
+
+    # No skips: the LR advances per step.
+    applied = run(str(tmp_path / "noskip"), None)
+    vals = [list(v for k, v in r.items() if k not in ("tag", "step"))[0]
+            for r in applied]
+    vals = [v["group_0"] if isinstance(v, dict) else v for v in vals]
+    np.testing.assert_allclose(vals, [schedule(i) for i in range(len(vals))])

@@ -66,3 +66,33 @@ def test_compute_metrics_override(tmp_path):
     metrics = jax.device_get(metrics)
     np.testing.assert_allclose(float(metrics["doubled_loss"]),
                                2 * float(metrics["loss"]), rtol=1e-6)
+
+
+def test_mixed_precision_keeps_vq_ema_stats_f32(tmp_path):
+    """Under compute_dtype=bfloat16, stateful VQ-EMA buffers (core.state_field)
+    must stay float32 end-to-end: 16-bit rounding would drift over a long run."""
+    import jax.numpy as jnp
+
+    model = models.VectorQuantizedVAE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+        hidden_channels=8, n_residual_blocks=1, residual_channels=4,
+        n_embeddings=8, embedding_dim=4, in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=4)
+
+    def loss_fn(x, _, preds):
+        preds, vq_loss = preds
+        return jnp.mean((preds - x) ** 2) + vq_loss
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn,
+                        optimizer=optax.adam(1e-3), train_loader=loader,
+                        eval_loader=loader, log_dir=str(tmp_path),
+                        use_tensorboard=False, compute_dtype=jnp.bfloat16)
+    init_vq = jax.device_get(t.model.quantizer.vq)
+    x = np.random.default_rng(0).random((4, 8, 8, 1)).astype(np.float32)
+    for _ in range(3):
+        t.train_one_step(x, None)
+    vq = jax.device_get(t.model.quantizer.vq)
+    for buf in (vq.ema_embedding, vq.ema_cluster_size, vq.ema_embedding_avg):
+        assert buf.dtype == jnp.float32
+    # And the stats actually updated (the EMA ran).
+    assert not np.allclose(vq.ema_cluster_size, init_vq.ema_cluster_size)

@@ -48,13 +48,31 @@ def _register_optional_models():
 _register_optional_models()
 
 
+def maybe_init_multihost() -> bool:
+    """Initializes jax.distributed when a multi-host coordinator is configured.
+
+    Multi-host: one controller per host; the same data mesh then spans hosts
+    over DCN (replacing the reference's per-rank NCCL rendezvous,
+    train.py:27-43). On a single host with no coordinator environment this is
+    a documented no-op (returns False) rather than a crash.
+    """
+    import os
+
+    coordinator = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                   or os.environ.get("COORDINATOR_ADDRESS"))
+    if not coordinator and "SLURM_JOB_NUM_NODES" not in os.environ:
+        print("--multihost: no coordinator environment detected; "
+              "running single-host.")
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    return True
+
+
 def main(args):
     if args.multihost:
-        # Multi-host: one controller per host; the same data mesh then spans
-        # hosts over DCN (replaces the reference's per-rank NCCL rendezvous).
-        import jax
-
-        jax.distributed.initialize()
+        maybe_init_multihost()
     MODEL_DICT[args.model].reproduce(
         args.epochs, args.batch_size, args.logdir, args.devices)
 
