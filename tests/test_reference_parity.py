@@ -133,12 +133,7 @@ def test_made_parity():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_pixel_cnn_parity():
-    ours = models.PixelCNN(KEY, in_channels=3, out_channels=3, n_residual=2,
-                           residual_channels=4, head_channels=4,
-                           in_shape=(8, 8, 3))
-    theirs = ref.models.PixelCNN(in_channels=3, out_channels=3, n_residual=2,
-                                 residual_channels=4, head_channels=4)
+def copy_pixel_cnn(ours, theirs):
     compat.copy_conv(ours.input_conv, theirs._input)
     for our_block, ref_block in zip(ours.causal_layers, theirs._causal_layers):
         compat.copy_conv(our_block.conv1, ref_block._net[1])
@@ -146,6 +141,15 @@ def test_pixel_cnn_parity():
         compat.copy_conv(our_block.conv3, ref_block._net[5])
     compat.copy_conv(ours.head_conv1, theirs._head[1])
     compat.copy_conv(ours.head_conv2, theirs._head[3])
+
+
+def test_pixel_cnn_parity():
+    ours = models.PixelCNN(KEY, in_channels=3, out_channels=3, n_residual=2,
+                           residual_channels=4, head_channels=4,
+                           in_shape=(8, 8, 3))
+    theirs = ref.models.PixelCNN(in_channels=3, out_channels=3, n_residual=2,
+                                 residual_channels=4, head_channels=4)
+    copy_pixel_cnn(ours, theirs)
     x = _img()
     got = np.asarray(ours.forward(jnp.asarray(x)))
     with torch.no_grad():
@@ -153,13 +157,7 @@ def test_pixel_cnn_parity():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_gated_pixel_cnn_parity():
-    ours = models.GatedPixelCNN(KEY, in_channels=3, out_channels=3, n_gated=2,
-                                gated_channels=4, head_channels=4,
-                                in_shape=(8, 8, 3))
-    theirs = ref.models.GatedPixelCNN(in_channels=3, out_channels=3, n_gated=2,
-                                      gated_channels=4, head_channels=4)
-
+def copy_gated_pixel_cnn(ours, theirs):
     def copy_layer(our_layer, ref_layer):
         compat.copy_conv(our_layer.vstack_1xN, ref_layer._vstack_1xN)
         compat.copy_conv(our_layer.vstack_Nx1, ref_layer._vstack_Nx1)
@@ -174,6 +172,15 @@ def test_gated_pixel_cnn_parity():
         copy_layer(our_layer, ref_layer)
     compat.copy_conv(ours.head_conv1, theirs._head[1])
     compat.copy_conv(ours.head_conv2, theirs._head[3])
+
+
+def test_gated_pixel_cnn_parity():
+    ours = models.GatedPixelCNN(KEY, in_channels=3, out_channels=3, n_gated=2,
+                                gated_channels=4, head_channels=4,
+                                in_shape=(8, 8, 3))
+    theirs = ref.models.GatedPixelCNN(in_channels=3, out_channels=3, n_gated=2,
+                                      gated_channels=4, head_channels=4)
+    copy_gated_pixel_cnn(ours, theirs)
     x = _img()
     got = np.asarray(ours.forward(jnp.asarray(x)))
     with torch.no_grad():
@@ -181,13 +188,7 @@ def test_gated_pixel_cnn_parity():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_image_gpt_parity():
-    ours = models.ImageGPT(KEY, in_channels=3, out_channels=3, in_size=8,
-                           n_transformer_blocks=2, n_attention_heads=2,
-                           n_embedding_channels=8, in_shape=(8, 8, 3))
-    theirs = ref.models.ImageGPT(in_channels=3, out_channels=3, in_size=8,
-                                 n_transformer_blocks=2, n_attention_heads=2,
-                                 n_embedding_channels=8)
+def copy_image_gpt(ours, theirs):
     theirs._pos.data = compat.to_torch_nchw(np.asarray(ours.pos))
     compat.copy_conv(ours.input_conv, theirs._input)
     for our_block, ref_block in zip(ours.blocks, theirs._transformer):
@@ -200,6 +201,16 @@ def test_image_gpt_parity():
         compat.copy_conv(our_block.mlp_conv2, ref_block._out[2])
     compat.copy_layernorm(ours.ln, theirs._ln)
     compat.copy_conv(ours.out_conv, theirs._out)
+
+
+def test_image_gpt_parity():
+    ours = models.ImageGPT(KEY, in_channels=3, out_channels=3, in_size=8,
+                           n_transformer_blocks=2, n_attention_heads=2,
+                           n_embedding_channels=8, in_shape=(8, 8, 3))
+    theirs = ref.models.ImageGPT(in_channels=3, out_channels=3, in_size=8,
+                                 n_transformer_blocks=2, n_attention_heads=2,
+                                 n_embedding_channels=8)
+    copy_image_gpt(ours, theirs)
     x = _img()
     got = np.asarray(ours.forward(jnp.asarray(x)))
     with torch.no_grad():
@@ -275,6 +286,13 @@ def _copy_decoder(ours, theirs):
     return theirs
 
 
+def copy_vae(ours, theirs):
+    for our_enc, ref_enc in zip(ours.encoders, theirs._encoder):
+        _copy_encoder(our_enc, ref_enc)
+    for our_dec, ref_dec in zip(ours.decoders, theirs._decoder):
+        _copy_decoder(our_dec, ref_dec)
+
+
 def test_vae_encoder_decoder_parity():
     ours = models.VAE(KEY, in_channels=3, out_channels=3, latent_channels=2,
                       strides=(2, 2), hidden_channels=4, residual_channels=2,
@@ -282,10 +300,7 @@ def test_vae_encoder_decoder_parity():
     theirs = ref.models.VAE(in_channels=3, out_channels=3, latent_channels=2,
                             strides=[2, 2], hidden_channels=4,
                             residual_channels=2)
-    for our_enc, ref_enc in zip(ours.encoders, theirs._encoder):
-        _copy_encoder(our_enc, ref_enc)
-    for our_dec, ref_dec in zip(ours.decoders, theirs._decoder):
-        _copy_decoder(our_dec, ref_dec)
+    copy_vae(ours, theirs)
 
     x = _img()
     got_enc = np.asarray(ours._encode(jnp.asarray(x)))
@@ -302,12 +317,7 @@ def test_vae_encoder_decoder_parity():
     np.testing.assert_allclose(got_dec, want_dec, atol=1e-4)
 
 
-def test_nice_parity():
-    ours = models.NICE(KEY, n_features=16, n_coupling_blocks=4,
-                       n_hidden_layers=2, n_hidden_features=8,
-                       in_shape=(4, 4, 1))
-    theirs = ref.models.NICE(n_features=16, n_coupling_blocks=4,
-                             n_hidden_layers=2, n_hidden_features=8)
+def copy_nice(ours, theirs):
     for our_block, ref_block in zip(ours.blocks, theirs.net):
         linears = [m for m in ref_block.net if isinstance(m, torch.nn.Linear)]
         for our_lin, ref_lin in zip(our_block.layers, linears):
@@ -315,6 +325,15 @@ def test_nice_parity():
         assert our_block.reverse == ref_block.reverse
     theirs.scaling.log_scale.data = torch.tensor(
         np.asarray(ours.scaling.log_scale))
+
+
+def test_nice_parity():
+    ours = models.NICE(KEY, n_features=16, n_coupling_blocks=4,
+                       n_hidden_layers=2, n_hidden_features=8,
+                       in_shape=(4, 4, 1))
+    theirs = ref.models.NICE(n_features=16, n_coupling_blocks=4,
+                             n_hidden_layers=2, n_hidden_features=8)
+    copy_nice(ours, theirs)
     x = RNG.random((2, 16)).astype(np.float32)
     got_z = np.asarray(ours._forward(jnp.asarray(x)))
     with torch.no_grad():
