@@ -24,13 +24,6 @@ class Kernel(core.Module):
     def __init__(self, bandwidth: float = 1.0):
         self.bandwidth = bandwidth
 
-    @staticmethod
-    def _diffs(test_Xs, train_Xs):
-        """Pairwise differences: (n_test, n_train, ...)."""
-        test_Xs = test_Xs[:, None]
-        train_Xs = train_Xs[None, :]
-        return test_Xs - train_Xs
-
     @abc.abstractmethod
     def __call__(self, test_Xs, train_Xs):
         """log p(x) for each test x given the training points."""
@@ -40,36 +33,48 @@ class Kernel(core.Module):
         """Samples from the kernel centered on each training point."""
 
 
+def _pairwise_offsets(queries, centers):
+    """(n_queries, n_centers, d) offsets between every query/center pair."""
+    return queries[:, None, :] - centers[None, :, :]
+
+
 class ParzenWindowKernel(Kernel):
-    """Uniform (Parzen window) kernel."""
+    """Uniform (Parzen window) kernel: a hypercube of side `bandwidth`.
+
+    A query lies inside the cube around a center iff the largest coordinate
+    offset is at most bandwidth/2; each such center contributes density
+    1 / bandwidth^d.
+    """
 
     def __call__(self, test_Xs, train_Xs):
-        abs_diffs = jnp.abs(self._diffs(test_Xs, train_Xs))
-        dims = tuple(range(abs_diffs.ndim))[2:]
-        dim = int(jnp.prod(jnp.asarray(abs_diffs.shape[2:])))
-        inside = jnp.sum(abs_diffs / self.bandwidth <= 0.5, axis=dims) == dim
-        coef = 1.0 / self.bandwidth**dim
-        return jnp.log((coef * inside).mean(axis=1))
+        d = train_Xs.shape[-1]
+        offsets = _pairwise_offsets(test_Xs, train_Xs)
+        in_cube = jnp.max(jnp.abs(offsets), axis=-1) <= 0.5 * self.bandwidth
+        density = jnp.mean(in_cube, axis=-1) / self.bandwidth**d
+        return jnp.log(density)
 
     def sample(self, rng, train_Xs):
-        noise = (jax.random.uniform(rng, train_Xs.shape) - 0.5) * self.bandwidth
-        return train_Xs + noise
+        jitter = jax.random.uniform(rng, train_Xs.shape, minval=-0.5,
+                                    maxval=0.5)
+        return train_Xs + jitter * self.bandwidth
 
 
 class GaussianKernel(Kernel):
-    """Gaussian kernel (logsumexp form for stability)."""
+    """Isotropic Gaussian kernel, N(x; center, bandwidth^2 I), evaluated in
+    log space via logsumexp for stability."""
 
     def __call__(self, test_Xs, train_Xs):
         n, d = train_Xs.shape
         h = self.bandwidth
-        Z = 0.5 * d * jnp.log(2 * jnp.pi) + d * jnp.log(h) + jnp.log(n)
-        diffs = self._diffs(test_Xs, train_Xs) / h
-        log_exp = -0.5 * jnp.linalg.norm(diffs, ord=2, axis=-1) ** 2
-        return jax.nn.logsumexp(log_exp - Z, axis=-1)
+        offsets = _pairwise_offsets(test_Xs, train_Xs)
+        sq_dist = jnp.sum(jnp.square(offsets), axis=-1)
+        per_center_log_p = (-0.5 * sq_dist / h**2
+                            - 0.5 * d * jnp.log(2 * jnp.pi * h**2))
+        return jax.nn.logsumexp(per_center_log_p, axis=-1) - jnp.log(n)
 
     def sample(self, rng, train_Xs):
-        noise = jax.random.normal(rng, train_Xs.shape) * self.bandwidth
-        return train_Xs + noise
+        return train_Xs + self.bandwidth * jax.random.normal(
+            rng, train_Xs.shape)
 
 
 class KernelDensityEstimator(base.GenerativeModel):
