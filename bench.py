@@ -1,13 +1,25 @@
-"""Benchmark: ImageGPT training throughput on TPU (the BASELINE.json metric).
+"""Benchmark suite: training + sampling throughput on TPU, with MFU accounting.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+Prints one JSON line per metric, each shaped
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+with the headline metric (ImageGPT reproduce()-config training throughput,
+the BASELINE.json number) printed LAST. Extra context rides in extra keys.
 
-The baseline is the PyTorch reference's ImageGPT reproduce() config measured on
-this machine's CPU (the reference publishes no throughput numbers; see
-BASELINE_MEASURED.json, generated by running the reference directly). The model,
-batch size (64), loss, and optimizer match the reference's reproduce() exactly
-(/root/reference/pytorch_generative/models/autoregressive/image_gpt.py:113-175).
+Baselines are the PyTorch reference measured on this machine's CPU
+(BASELINE_MEASURED.json; the reference publishes no throughput numbers).
+The headline model/batch/loss/optimizer match the reference's reproduce()
+exactly (/root/reference/pytorch_generative/models/autoregressive/
+image_gpt.py:113-175).
+
+Timing fences are true host fetches (float(...)): through the remote-device
+tunnel used here, block_until_ready can return before execution completes.
+
+Env knobs:
+    BENCH_BATCH_SIZE (64)   headline train batch
+    BENCH_STEPS (50)        timed optimizer steps
+    BENCH_CHUNK (10)        steps fused per dispatch (lax.scan)
+    BENCH_FAST=1            headline + bf16 only (skip samplers/ablations)
+    PGT_NO_FLASH=1          disable the Pallas attention kernels globally
 """
 
 import json
@@ -16,40 +28,83 @@ import time
 
 import numpy as np
 
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip
+V5E_F32_PEAK_FLOPS = 98.5e12  # bf16/2 (no native f32 systolic path)
 
-def main():
+
+def _load_baselines():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _emit(metric, value, unit, baseline=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 2), "unit": unit,
+           "vs_baseline": (round(float(value) / baseline, 2)
+                           if baseline else None)}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def image_gpt_train_flops_per_sample(n_blocks=8, n_heads=2, c=64, l=784,
+                                     mlp_mult=4):
+    """Analytic fwd+bwd FLOPs per sample (matmuls only; convs/LN are noise).
+
+    Per block: q (c->c), kv (c->2c), out (c->c), mlp (c->4c->4c c) projections
+    at every position, plus the (L x L) attention score and value matmuls.
+    Backward costs ~2x forward for matmuls.
+    """
+    proj = 2 * l * (c * c + c * 2 * c + c * c + 2 * mlp_mult * c * c)
+    attn = 2 * l * l * (c + c)  # scores (d_k sum over heads = c) + p@v
+    fwd = n_blocks * (proj + attn)
+    return 3 * fwd  # fwd + ~2x fwd for bwd
+
+
+def _make_imagegpt(key, use_flash=True):
     import jax
 
-    # Persistent compilation cache: the full-model grad compile through the
-    # TPU tunnel takes minutes cold; cached runs start in seconds.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 - older jax versions
-        pass
+    from pytorch_generative_tpu import models
 
+    # CausalAttention reads PGT_NO_FLASH at construction time.
+    old = os.environ.get("PGT_NO_FLASH")
+    if not use_flash:
+        os.environ["PGT_NO_FLASH"] = "1"
+    try:
+        return models.ImageGPT(
+            jax.random.PRNGKey(key), in_channels=1, out_channels=1,
+            in_size=28, n_transformer_blocks=8, n_attention_heads=2,
+            n_embedding_channels=64, in_shape=(28, 28, 1))
+    finally:
+        if not use_flash:
+            if old is None:
+                os.environ.pop("PGT_NO_FLASH", None)
+            else:
+                os.environ["PGT_NO_FLASH"] = old
+
+
+def bench_train(model, batch_size, n_steps, chunk, compute_dtype=None):
+    """Returns samples/sec for the reproduce()-config training loop."""
+    import jax
+    import jax.numpy as jnp
     import optax
 
-    from pytorch_generative_tpu import core, models
+    from pytorch_generative_tpu import core
     from pytorch_generative_tpu import optim as optim_tpu
 
-    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
-
-    model = models.ImageGPT(
-        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
-        n_transformer_blocks=8, n_attention_heads=2, n_embedding_channels=64,
-        in_shape=(28, 28, 1))
     tx, _ = optim_tpu.adam_multiplicative(5e-3, 0.999977)
-
     params, rest = core.partition(model)
     opt_state = tx.init(params)
 
     def loss_fn(params, x):
         m = core.combine(params, rest)
-        preds = m.forward(x)
+        if compute_dtype is not None:
+            m = core.cast_floating(m, compute_dtype)
+            x = x.astype(compute_dtype)
+        preds = m.forward(x).astype(jnp.float32)
+        x = x.astype(jnp.float32)
         n = x.shape[0]
         loss = optax.sigmoid_binary_cross_entropy(
             preds.reshape(n, -1), x.reshape(n, -1))
@@ -62,10 +117,6 @@ def main():
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    # Scan a chunk of optimizer steps per dispatch so the measurement reflects
-    # device throughput, not host->TPU tunnel round-trip latency.
-    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
-
     @jax.jit
     def train_chunk(params, opt_state, xs):
         (params, opt_state), losses = jax.lax.scan(
@@ -76,35 +127,148 @@ def main():
     xs = (rng.random((chunk, batch_size, 28, 28, 1)) < 0.13).astype(np.float32)
     xs = jax.device_put(xs)
 
-    # Warmup / compile. NOTE: the timing fence is a host fetch (float()), not
-    # block_until_ready — through the remote-device tunnel used here,
-    # block_until_ready can return before execution completes, inflating
-    # throughput. A scalar fetch is a true round-trip.
-    params, opt_state, loss = train_chunk(params, opt_state, xs)
+    params, opt_state, loss = train_chunk(params, opt_state, xs)  # compile
     float(loss)
-
     t0 = time.time()
-    for _ in range(n_steps // chunk):
+    for _ in range(max(n_steps // chunk, 1)):
         params, opt_state, loss = train_chunk(params, opt_state, xs)
     float(loss)
     dt = time.time() - t0
-    samples_per_sec = batch_size * (n_steps // chunk) * chunk / dt
+    return batch_size * max(n_steps // chunk, 1) * chunk / dt
 
-    baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "BASELINE_MEASURED.json")
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f).get(
-                "reference_imagegpt_cpu_train_samples_per_sec")
 
-    print(json.dumps({
-        "metric": "imagegpt_train_throughput",
-        "value": round(samples_per_sec, 2),
-        "unit": "samples/sec",
-        "vs_baseline": (round(samples_per_sec / baseline, 2)
-                        if baseline else None),
-    }))
+def bench_sampler(make_model_and_shape, n_samples, n_rounds=3):
+    """Returns images/sec for a jitted fast sampler (fetch-fenced)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, _ = make_model_and_shape()
+
+    @jax.jit
+    def sample(rng):
+        return model.sample(rng, n_samples)
+
+    out = sample(jax.random.PRNGKey(0))  # compile
+    float(jnp.sum(out))
+    t0 = time.time()
+    for i in range(n_rounds):
+        out = sample(jax.random.PRNGKey(i + 1))
+        float(jnp.sum(out))
+    dt = time.time() - t0
+    return n_samples * n_rounds / dt
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - older jax versions
+        pass
+
+    import jax.numpy as jnp
+
+    from pytorch_generative_tpu import models
+
+    base = _load_baselines()
+    train_base = base.get("reference_imagegpt_cpu_train_samples_per_sec")
+    sample_base = base.get("reference_imagegpt_cpu_sample_images_per_sec")
+
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", "64"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+    fast = os.environ.get("BENCH_FAST") == "1"
+
+    flops = image_gpt_train_flops_per_sample()
+
+    # --- bf16 mixed-precision training (compute_dtype path). ---
+    sps_bf16 = bench_train(_make_imagegpt(0), batch_size, n_steps, chunk,
+                           compute_dtype=jnp.bfloat16)
+    _emit("imagegpt_train_throughput_bf16", sps_bf16, "samples/sec",
+          train_base, mfu=round(sps_bf16 * flops / V5E_BF16_PEAK_FLOPS, 4))
+
+    if not fast:
+        # --- Ablation: stock XLA attention instead of the Pallas kernels. ---
+        sps_xla = bench_train(_make_imagegpt(0, use_flash=False), batch_size,
+                              n_steps, chunk)
+        _emit("imagegpt_train_throughput_xla_attention", sps_xla,
+              "samples/sec", train_base)
+
+        # --- Batch-scaling point (bf16, large batch): what the chip can do.
+        big_bs = int(os.environ.get("BENCH_BIG_BATCH", "512"))
+        sps_big = bench_train(_make_imagegpt(0), big_bs,
+                              max(n_steps // 2, chunk), chunk,
+                              compute_dtype=jnp.bfloat16)
+        _emit("imagegpt_train_throughput_bf16_bs512", sps_big, "samples/sec",
+              train_base, batch_size=big_bs,
+              mfu=round(sps_big * flops / V5E_BF16_PEAK_FLOPS, 4))
+
+        # --- Fast samplers (reproduce() configs, n=16 like the reference).
+        def gpt16():
+            return _make_imagegpt(0), 16
+
+        sps = bench_sampler(gpt16, 16)
+        _emit("imagegpt_sample_throughput", sps, "images/sec", sample_base)
+
+        # Larger sample batches amortize the 784-step scan (latency-bound at
+        # n=16, ~0.7ms/pixel-step of kernel-dispatch floor); report the
+        # scaling curve.
+        sps = bench_sampler(gpt16, 64, n_rounds=2)
+        _emit("imagegpt_sample_throughput_n64", sps, "images/sec",
+              sample_base)
+        sps = bench_sampler(gpt16, 256, n_rounds=2)
+        _emit("imagegpt_sample_throughput_n256", sps, "images/sec",
+              sample_base)
+
+        def pixel_cnn():
+            m = models.PixelCNN(
+                jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                n_residual=15, residual_channels=16, head_channels=32,
+                in_shape=(28, 28, 1))
+            return m, 16
+
+        _emit("pixel_cnn_sample_throughput", bench_sampler(pixel_cnn, 16),
+              "images/sec", sample_base)
+
+        def gated():
+            m = models.GatedPixelCNN(
+                jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                n_gated=10, gated_channels=128, head_channels=32,
+                in_shape=(28, 28, 1))
+            return m, 16
+
+        _emit("gated_pixel_cnn_sample_throughput", bench_sampler(gated, 16),
+              "images/sec", sample_base)
+
+        def made():
+            m = models.MADE(jax.random.PRNGKey(0), input_dim=784,
+                            hidden_dims=[8000], n_masks=1,
+                            in_shape=(28, 28, 1))
+            return m, 16
+
+        _emit("made_sample_throughput", bench_sampler(made, 16),
+              "images/sec", sample_base)
+
+        if os.environ.get("BENCH_SNAIL", "1") == "1":
+            def snail():
+                m = models.PixelSNAIL(
+                    jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                    n_channels=64, n_pixel_snail_blocks=8,
+                    n_residual_blocks=2, attention_key_channels=4,
+                    attention_value_channels=32, in_shape=(28, 28, 1))
+                return m, 16
+
+            _emit("pixel_snail_sample_throughput", bench_sampler(snail, 16),
+                  "images/sec", sample_base)
+
+    # --- Headline LAST: f32 reproduce()-config training throughput. ---
+    sps = bench_train(_make_imagegpt(0), batch_size, n_steps, chunk)
+    _emit("imagegpt_train_throughput", sps, "samples/sec", train_base,
+          mfu=round(sps * flops / V5E_F32_PEAK_FLOPS, 4),
+          flops_per_sample=flops)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,13 @@ def _elu_conv_elu(conv, x):
     return jax.nn.elu(conv(jax.nn.elu(x)))
 
 
+def _identity(x):
+    # Module-level (not a per-instance lambda): static fields live in the
+    # pytree treedef and are compared by identity, so per-block lambdas would
+    # make otherwise-identical blocks unstackable (parallel/pp.py).
+    return x
+
+
 class ResidualBlock(core.Module):
     """Residual block of 2x2 convs (pad 1, crop) with identity-gated activation."""
 
@@ -43,7 +50,7 @@ class ResidualBlock(core.Module):
         k1, k2 = jax.random.split(key)
         self.input_conv = Conv2d(k1, n_channels, n_channels, 2, padding=1)
         self.output_conv = Conv2d(k2, n_channels, 2 * n_channels, 2, padding=1)
-        self.activation = GatedActivation(activation_fn=lambda x: x)
+        self.activation = GatedActivation(activation_fn=_identity)
 
     def __call__(self, x):
         _, h, w, _ = x.shape

@@ -101,20 +101,33 @@ class CausalAttention(core.Module):
 
     def __call__(self, x, extra_x=None):
         n, h, w, _ = x.shape
-        q = attn_ops.nhwc_to_heads(self.q_proj(x), self.n_heads)
+        q_feat = self.q_proj(x)
         if extra_x is not None:
             x = jnp.concatenate([x, extra_x], axis=-1)
         kv = self.kv_proj(x)
-        k = attn_ops.nhwc_to_heads(kv[..., : self.embed_channels], self.n_heads)
-        v = attn_ops.nhwc_to_heads(kv[..., self.embed_channels:], self.n_heads)
         if self.use_flash:
+            # Packed path: (N, H*W, features) straight into the kernel — the
+            # per-head tiles are carved out by the kernel's index maps, so no
+            # head-split transposes ever materialize (they cost ~10x the
+            # attention math on v5e).
             from pytorch_generative_tpu.ops.attention_pallas import (
-                causal_attention_trainable,
+                causal_attention_packed,
             )
-            out = causal_attention_trainable(q, k, v, self.mask_center)
+            flat = lambda t: t.reshape(n, h * w, t.shape[-1])
+            out = causal_attention_packed(
+                flat(q_feat), flat(kv[..., : self.embed_channels]),
+                flat(kv[..., self.embed_channels:]), self.mask_center,
+                self.n_heads)
+            out = out.reshape(n, h, w, self.out_channels)
         else:
-            out = attn_ops.causal_attention(q, k, v, mask_center=self.mask_center)
-        out = attn_ops.heads_to_nhwc(out, h, w)
+            q = attn_ops.nhwc_to_heads(q_feat, self.n_heads)
+            k = attn_ops.nhwc_to_heads(kv[..., : self.embed_channels],
+                                       self.n_heads)
+            v = attn_ops.nhwc_to_heads(kv[..., self.embed_channels:],
+                                       self.n_heads)
+            out = attn_ops.causal_attention(q, k, v,
+                                            mask_center=self.mask_center)
+            out = attn_ops.heads_to_nhwc(out, h, w)
         return self.out_proj(out)
 
 

@@ -52,6 +52,15 @@ class Conv2d(core.Module):
             self.padding = ((ph, ph), (pw, pw))
 
     def _conv(self, x, weight):
+        # 1x1 convs lower to a plain feature-dim matmul: XLA's convolution
+        # layout assignment otherwise interleaves layout-conversion copies
+        # between channel-mixing layers (measured on v5e: the copies around
+        # pointwise convs cost more than the matmuls themselves).
+        if (weight.shape[0] == 1 and weight.shape[1] == 1
+                and self.stride == (1, 1) and self.dilation == (1, 1)
+                and self.padding in (((0, 0), (0, 0)), "VALID", "SAME")):
+            return jax.lax.dot_general(
+                x, weight[0, 0], (((x.ndim - 1,), (0,)), ((), ())))
         return jax.lax.conv_general_dilated(
             x, weight, window_strides=self.stride, padding=self.padding,
             rhs_dilation=self.dilation,

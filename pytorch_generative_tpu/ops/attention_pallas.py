@@ -52,46 +52,71 @@ def _causal_mask_tile(qi, ki, block_q, block_k, offset):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
-                mask_center, scale):
+                mask_center, scale, n_heads):
+    """Packed multi-head forward: refs carry the full (block, H*d) feature
+    width; heads are a static in-kernel loop over register slices. TPU lane
+    tiling forbids sub-128 feature blocks in the BlockSpec, and slicing VMEM
+    values is far cheaper than the host-side head-split transposes it
+    replaces (measured ~10x the attention math on v5e)."""
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
+    # Tiles stay in the input dtype: for bfloat16 inputs the MXU runs its
+    # native bf16 multiply / f32 accumulate path (2x f32 matmul throughput);
+    # preferred_element_type keeps every accumulation and all softmax
+    # statistics in float32. For f32 inputs this is the f32 kernel unchanged.
+    q_all = q_ref[0]
+    d_k = q_all.shape[-1] // n_heads
+    d_v = o_ref.shape[-1] // n_heads
     offset = 1 if mask_center else 0
     n_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
 
-    def body(ki, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
-        scores = jnp.where(mask, scores, _NEG_INF)
+    outs, lses = [], []
+    for hd in range(n_heads):
+        q = q_all[:, hd * d_k: (hd + 1) * d_k]
 
-        m_cur = jnp.max(scores, axis=1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
-        p = jnp.where(mask, jnp.exp(scores - m_safe[:, None]), 0.0)
+        def body(ki, carry):
+            m_prev, l_prev, acc = carry
+            k = k_ref[0, pl.ds(ki * block_k, block_k),
+                      :][:, hd * d_k: (hd + 1) * d_k]
+            v = v_ref[0, pl.ds(ki * block_k, block_k),
+                      :][:, hd * d_v: (hd + 1) * d_v]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
+            scores = jnp.where(mask, scores, _NEG_INF)
 
-        l_new = alpha * l_prev + jnp.sum(p, axis=1)
-        acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
+            m_cur = jnp.max(scores, axis=1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            alpha = jnp.where(jnp.isfinite(m_prev),
+                              jnp.exp(m_prev - m_safe), 0.0)
+            p = jnp.where(mask, jnp.exp(scores - m_safe[:, None]), 0.0)
 
-    m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q,), jnp.float32)
-    acc0 = jnp.zeros((block_q, v_ref.shape[-1]), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_k_blocks, body, (m0, l0, acc0))
+            l_new = alpha * l_prev + jnp.sum(p, axis=1)
+            acc = acc * alpha[:, None] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
 
-    # Fully-masked rows (l == 0) output exactly 0 (reference NaN-row behavior,
-    # nn/attention.py:154-157); their lse stays -inf so backward zeroes them.
-    out = acc / jnp.where(l == 0.0, 1.0, l)[:, None]
-    o_ref[0] = out.astype(o_ref.dtype)
-    lse = jnp.where(l == 0.0, _NEG_INF, m + jnp.log(jnp.maximum(l, 1e-38)))
-    # Stats live sublane-replicated ((8, block_q) tiles) to satisfy TPU tiling.
-    lse_ref[0] = jnp.broadcast_to(lse[None, :], (8, lse.shape[0])).astype(
-        jnp.float32)
+        m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((block_q,), jnp.float32)
+        acc0 = jnp.zeros((block_q, d_v), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_k_blocks, body, (m0, l0, acc0))
+
+        # Fully-masked rows (l == 0) output exactly 0 (reference NaN-row
+        # behavior, nn/attention.py:154-157); their lse stays -inf so
+        # backward zeroes them.
+        outs.append(acc / jnp.where(l == 0.0, 1.0, l)[:, None])
+        lse = jnp.where(l == 0.0, _NEG_INF,
+                        m + jnp.log(jnp.maximum(l, 1e-38)))
+        # Stats live lane-replicated ((block_q, 128) tiles per head): the
+        # lane dim is always 128-aligned, so block_q is free to be any
+        # multiple of 8 — which lets _pick_blocks choose exact divisors of L
+        # and eliminate sequence padding entirely.
+        lses.append(jnp.broadcast_to(lse[:, None], (lse.shape[0], 128)))
+
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    lse_ref[0] = jnp.stack(lses, axis=0).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -99,80 +124,108 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-                   block_q, block_k, mask_center, scale):
+                   block_q, block_k, mask_center, scale, n_heads):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0, :].astype(jnp.float32)
-    delta = delta_ref[0, 0, :].astype(jnp.float32)
+    q_all = q_ref[0]
+    do_all = do_ref[0]
+    d_k = q_all.shape[-1] // n_heads
+    d_v = do_all.shape[-1] // n_heads
     offset = 1 if mask_center else 0
-    # Column-ize (f32) before the bool ops: Mosaic only supports minor-dim
-    # insertion as a no-op for 32-bit types.
-    lse_col = lse[:, None]
-    finite = jnp.isfinite(lse_col)
-    lse_safe = jnp.where(finite, lse_col, 0.0)
     n_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
 
-    def body(ki, dq):
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
-        p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+    dqs = []
+    for hd in range(n_heads):
+        q = q_all[:, hd * d_k: (hd + 1) * d_k]
+        do = do_all[:, hd * d_v: (hd + 1) * d_v]
+        # Stats are lane-replicated (block_q, 128) tiles; a lane reduction
+        # recovers the column (all lanes equal — max is -inf-safe).
+        lse_col = jnp.max(lse_ref[0, hd].astype(jnp.float32), axis=1,
+                          keepdims=True)
+        delta_col = jnp.max(delta_ref[0, hd].astype(jnp.float32), axis=1,
+                            keepdims=True)
+        finite = jnp.isfinite(lse_col)
+        lse_safe = jnp.where(finite, lse_col, 0.0)
 
-    dq0 = jnp.zeros((block_q, q_ref.shape[-1]), jnp.float32)
-    dq = jax.lax.fori_loop(0, n_k_blocks, body, dq0)
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+        def body(ki, dq):
+            k = k_ref[0, pl.ds(ki * block_k, block_k),
+                      :][:, hd * d_k: (hd + 1) * d_k]
+            v = v_ref[0, pl.ds(ki * block_k, block_k),
+                      :][:, hd * d_v: (hd + 1) * d_v]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
+            p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta_col)
+            return dq + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+        dq0 = jnp.zeros((block_q, d_k), jnp.float32)
+        dqs.append(jax.lax.fori_loop(0, n_k_blocks, body, dq0))
+
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
                     dv_ref, *, block_q, block_k, mask_center, scale,
-                    n_q_blocks):
+                    n_q_blocks, n_heads):
     ki = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    d_k = k_all.shape[-1] // n_heads
+    d_v = v_all.shape[-1] // n_heads
     offset = 1 if mask_center else 0
     # q blocks before this k block contribute nothing (causality).
     first_q = jax.lax.div(ki * block_k, block_q)
 
-    def body(qi, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)].astype(jnp.float32)
-        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)].astype(
-            jnp.float32)
-        lse_col = lse[:, None]
-        finite = jnp.isfinite(lse_col)
-        lse_safe = jnp.where(finite, lse_col, 0.0)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
-        p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
-        dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
-        dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        return dk, dv
+    dks, dvs = [], []
+    for hd in range(n_heads):
+        k = k_all[:, hd * d_k: (hd + 1) * d_k]
+        v = v_all[:, hd * d_v: (hd + 1) * d_v]
 
-    dk0 = jnp.zeros((block_k, k_ref.shape[-1]), jnp.float32)
-    dv0 = jnp.zeros((block_k, v_ref.shape[-1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(first_q, n_q_blocks, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+        def body(qi, carry):
+            dk, dv = carry
+            q = q_ref[0, pl.ds(qi * block_q, block_q),
+                      :][:, hd * d_k: (hd + 1) * d_k]
+            do = do_ref[0, pl.ds(qi * block_q, block_q),
+                        :][:, hd * d_v: (hd + 1) * d_v]
+            lse_col = jnp.max(
+                lse_ref[0, hd, pl.ds(qi * block_q, block_q), :].astype(
+                    jnp.float32), axis=1, keepdims=True)
+            delta_col = jnp.max(
+                delta_ref[0, hd, pl.ds(qi * block_q, block_q), :].astype(
+                    jnp.float32), axis=1, keepdims=True)
+            finite = jnp.isfinite(lse_col)
+            lse_safe = jnp.where(finite, lse_col, 0.0)
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
+            p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
+            dv = dv + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta_col)
+            dk = dk + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            return dk, dv
+
+        dk0 = jnp.zeros((block_k, d_k), jnp.float32)
+        dv0 = jnp.zeros((block_k, d_v), jnp.float32)
+        dk, dv = jax.lax.fori_loop(first_q, n_q_blocks, body, (dk0, dv0))
+        dks.append(dk)
+        dvs.append(dv)
+
+    dk_ref[0] = jnp.concatenate(dks, axis=-1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=-1).astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -189,131 +242,162 @@ def _pad_to(x, size, axis):
 
 
 def _pick_blocks(l, block_q, block_k):
-    cap = max(128, 1 << (max(l - 1, 1)).bit_length())
-    return min(block_q, cap), min(block_k, cap)
+    """Picks the largest multiple-of-8 block <= 512 that divides l exactly.
+
+    An exact divisor removes sequence padding entirely: for L=784 the old
+    pow2 scheme padded to 1024, wasting ~50% of the causal tile work plus a
+    pad/slice copy of every operand around each kernel call (measured on v5e
+    to rival the attention math itself). The stats arrays are lane-replicated
+    (block_q, 128) tiles, so any multiple-of-8 block_q is legal. Falls back
+    to pow2 padding for awkward lengths.
+    """
+    cap = min(max(max(block_q, block_k), 512), l)
+    for b in range(cap - cap % 8, 7, -8):
+        if l % b == 0:
+            return b, b
+    cap2 = max(128, 1 << (max(l - 1, 1)).bit_length())
+    return min(block_q, cap2), min(block_k, cap2)
 
 
-@functools.partial(jax.jit, static_argnames=("mask_center", "block_q",
-                                             "block_k", "interpret"))
-def _flash_forward(q, k, v, mask_center, block_q, block_k, interpret):
-    n, h, l, d_k = q.shape
-    d_v = v.shape[-1]
+@functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
+                                             "block_q", "block_k",
+                                             "interpret"))
+def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
+                   interpret):
+    """Packed-layout forward: q/k (B, L, H*d_k), v (B, L, H*d_v).
+
+    Heads are never materialized on the host — the per-head tiles are carved
+    out by the BlockSpec index maps. This keeps the projection outputs in
+    their natural (B, L, features) layout end-to-end: profiling on v5e showed
+    the (B, L, H, d) -> (B, H, L, d) head-split transposes around the kernels
+    cost ~10x the attention math itself.
+    """
+    b, l, _ = q.shape
+    d_k = q.shape[-1] // n_heads
+    d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
     block_q, block_k = _pick_blocks(l, block_q, block_k)
     l_pad = _blocks(l, block_q, block_k)
 
-    qf = _pad_to(q.reshape(n * h, l, d_k), l_pad, 1)
-    kf = _pad_to(k.reshape(n * h, l, d_k), l_pad, 1)
-    vf = _pad_to(v.reshape(n * h, l, d_v), l_pad, 1)
+    qf = _pad_to(q, l_pad, 1)
+    kf = _pad_to(k, l_pad, 1)
+    vf = _pad_to(v, l_pad, 1)
 
     kernel = functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
-                               mask_center=mask_center, scale=scale)
+                               mask_center=mask_center, scale=scale,
+                               n_heads=n_heads)
     out, lse = pl.pallas_call(
         kernel,
-        grid=(n * h, l_pad // block_q),
+        grid=(b, l_pad // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d_k), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, n_heads * d_k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_pad, d_k), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_pad, d_v), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_v), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, d_v), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, n_heads * d_v), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, n_heads, block_q, 128), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n * h, l_pad, d_v), q.dtype),
-            jax.ShapeDtypeStruct((n * h, 8, l_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, l_pad, n_heads * d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, n_heads, l_pad, 128), jnp.float32),
         ),
         interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :l, :].reshape(n, h, l, d_v), lse
+    return out[:, :l, :], lse
 
 
-@functools.partial(jax.jit, static_argnames=("mask_center", "block_q",
-                                             "block_k", "interpret"))
-def _flash_backward(q, k, v, out, lse, g, mask_center, block_q, block_k,
-                    interpret):
-    n, h, l, d_k = q.shape
-    d_v = v.shape[-1]
+@functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
+                                             "block_q", "block_k",
+                                             "interpret"))
+def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
+                    block_k, interpret):
+    """Packed-layout backward (see _flash_forward for the layout contract)."""
+    b, l, _ = q.shape
+    d_k = q.shape[-1] // n_heads
+    d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
     block_q, block_k = _pick_blocks(l, block_q, block_k)
     l_pad = _blocks(l, block_q, block_k)
 
-    qf = _pad_to(q.reshape(n * h, l, d_k), l_pad, 1)
-    kf = _pad_to(k.reshape(n * h, l, d_k), l_pad, 1)
-    vf = _pad_to(v.reshape(n * h, l, d_v), l_pad, 1)
-    dof = _pad_to(g.reshape(n * h, l, d_v), l_pad, 1)
-    # lse is (n*h, 8, l_pad) sublane-replicated from the forward; padded rows
+    qf = _pad_to(q, l_pad, 1)
+    kf = _pad_to(k, l_pad, 1)
+    vf = _pad_to(v, l_pad, 1)
+    dof = _pad_to(g, l_pad, 1)
+    # lse is (B, H, l_pad, 128) lane-replicated from the forward; padded rows
     # carry lse = -inf so they contribute nothing.
     lse_f = lse
-    delta = jnp.sum(dof * _pad_to(out.reshape(n * h, l, d_v), l_pad, 1),
-                    axis=-1)
-    delta = jnp.broadcast_to(delta[:, None, :], (n * h, 8, l_pad))
+    # Per-head delta rows, laid out to match the lse stats array.
+    prod = (dof.astype(jnp.float32)
+            * _pad_to(out, l_pad, 1).astype(jnp.float32))
+    delta_h = prod.reshape(b, l_pad, n_heads, d_v).sum(-1)  # (B, L, H)
+    delta = jnp.broadcast_to(delta_h.transpose(0, 2, 1)[:, :, :, None],
+                             (b, n_heads, l_pad, 128))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_q=block_q, block_k=block_k,
-                          mask_center=mask_center, scale=scale),
-        grid=(n * h, l_pad // block_q),
+                          mask_center=mask_center, scale=scale,
+                          n_heads=n_heads),
+        grid=(b, l_pad // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d_k), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, n_heads * d_k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_pad, d_k), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_pad, d_v), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_v), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d_v), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, n_heads * d_v), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, n_heads, block_q, 128), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, n_heads, block_q, 128), lambda b, i: (b, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_k), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, n_heads * d_k),
+                               lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * h, l_pad, d_k), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, dof, lse_f, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=block_q, block_k=block_k,
                           mask_center=mask_center, scale=scale,
-                          n_q_blocks=l_pad // block_q),
-        grid=(n * h, l_pad // block_k),
+                          n_q_blocks=l_pad // block_q, n_heads=n_heads),
+        grid=(b, l_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, l_pad, d_k), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_k), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_k), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_k, n_heads * d_k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_v), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_k, n_heads * d_v), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l_pad, d_v), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, l_pad, n_heads * d_v), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, l_pad), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, n_heads, l_pad, 128), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, l_pad), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, n_heads, l_pad, 128), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_k, d_k), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_k, n_heads * d_k), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_v), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_k, n_heads * d_v), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n * h, l_pad, d_k), q.dtype),
-            jax.ShapeDtypeStruct((n * h, l_pad, d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), q.dtype),
+            jax.ShapeDtypeStruct((b, l_pad, n_heads * d_v), q.dtype),
         ),
         interpret=interpret,
     )(qf, kf, vf, dof, lse_f, delta)
 
-    return (dq[:, :l].reshape(n, h, l, d_k),
-            dk[:, :l].reshape(n, h, l, d_k),
-            dv[:, :l].reshape(n, h, l, d_v))
+    return dq[:, :l], dk[:, :l], dv[:, :l]
 
 
 # ---------------------------------------------------------------------------
@@ -323,35 +407,65 @@ def _flash_backward(q, k, v, out, lse, g, mask_center, block_q, block_k,
 _INTERPRET = False  # Flipped by tests to run the kernels on CPU.
 
 
-def flash_causal_attention(q, k, v, mask_center: bool = False,
-                           block_q: int = DEFAULT_BLOCK_Q,
-                           block_k: int = DEFAULT_BLOCK_K,
-                           interpret: bool | None = None):
-    """Fused causal attention over (N, heads, L, d) tensors (forward only)."""
-    if interpret is None:
-        interpret = _INTERPRET
-    out, _ = _flash_forward(q, k, v, mask_center, block_q, block_k, interpret)
-    return out
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def causal_attention_packed(q, k, v, mask_center: bool, n_heads: int):
+    """Differentiable fused attention over packed (B, L, heads*d) tensors.
 
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def causal_attention_trainable(q, k, v, mask_center: bool = False):
-    """Differentiable fused attention: Pallas forward AND backward kernels."""
-    out, _ = _flash_forward(q, k, v, mask_center, DEFAULT_BLOCK_Q,
+    The hot-path entry point: consumes the q/kv projections' natural
+    (batch, sequence, features) layout directly (head-major feature order,
+    matching the reference's head restacking, nn/attention.py:131-161) and
+    produces the same layout — zero host-side transposes.
+    """
+    out, _ = _flash_forward(q, k, v, n_heads, mask_center, DEFAULT_BLOCK_Q,
                             DEFAULT_BLOCK_K, _INTERPRET)
     return out
 
 
-def _vjp_fwd(q, k, v, mask_center):
-    out, lse = _flash_forward(q, k, v, mask_center, DEFAULT_BLOCK_Q,
+def _vjp_fwd(q, k, v, mask_center, n_heads):
+    out, lse = _flash_forward(q, k, v, n_heads, mask_center, DEFAULT_BLOCK_Q,
                               DEFAULT_BLOCK_K, _INTERPRET)
     return out, (q, k, v, out, lse)
 
 
-def _vjp_bwd(mask_center, residuals, g):
+def _vjp_bwd(mask_center, n_heads, residuals, g):
     q, k, v, out, lse = residuals
-    return _flash_backward(q, k, v, out, lse, g, mask_center, DEFAULT_BLOCK_Q,
-                           DEFAULT_BLOCK_K, _INTERPRET)
+    return _flash_backward(q, k, v, out, lse, g, n_heads, mask_center,
+                           DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, _INTERPRET)
 
 
-causal_attention_trainable.defvjp(_vjp_fwd, _vjp_bwd)
+causal_attention_packed.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _pack(t):
+    n, h, l, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(n, l, h * d)
+
+
+def _unpack(t, n_heads):
+    b, l, hd = t.shape
+    return t.reshape(b, l, n_heads, hd // n_heads).transpose(0, 2, 1, 3)
+
+
+def flash_causal_attention(q, k, v, mask_center: bool = False,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_k: int = DEFAULT_BLOCK_K,
+                           interpret: bool | None = None):
+    """Fused causal attention over (N, heads, L, d) tensors (forward only).
+
+    Compatibility wrapper over the packed kernel; the hot path
+    (nn.CausalAttention) uses :func:`causal_attention_packed` directly.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    n_heads = q.shape[1]
+    out, _ = _flash_forward(_pack(q), _pack(k), _pack(v), n_heads,
+                            mask_center, block_q, block_k, interpret)
+    return _unpack(out, n_heads)
+
+
+def causal_attention_trainable(q, k, v, mask_center: bool = False):
+    """Differentiable fused attention over (N, heads, L, d) tensors."""
+    n_heads = q.shape[1]
+    out = causal_attention_packed(_pack(q), _pack(k), _pack(v), mask_center,
+                                  n_heads)
+    return _unpack(out, n_heads)

@@ -8,8 +8,11 @@ from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from pytorch_generative_tpu.parallel.pp import (  # noqa: F401
+    group_and_stack,
     image_gpt_pipeline_forward,
     pipeline_apply,
+    pipeline_forward,
+    pixel_snail_pipeline_forward,
     stack_blocks,
 )
 from pytorch_generative_tpu.parallel.ring_attention import (  # noqa: F401
@@ -19,6 +22,9 @@ from pytorch_generative_tpu.parallel.ring_attention import (  # noqa: F401
 from pytorch_generative_tpu.parallel.tp import (  # noqa: F401
     IMAGE_GPT_TP_RULES,
     MODEL_AXIS,
+    PIXEL_SNAIL_TP_RULES,
+    TP_RULES_BY_MODEL,
+    VD_VAE_TP_RULES,
     make_2d_mesh,
     shard_batch_2d,
     shard_tree,

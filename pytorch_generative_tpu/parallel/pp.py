@@ -30,38 +30,58 @@ def stack_blocks(blocks):
 
 
 def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
-                   axis_name: str = "stage"):
+                   axis_name: str = "stage", extras_micro=None):
     """Runs microbatches through stage-sharded blocks with a GPipe schedule.
 
     Args:
         stacked_blocks: Block parameters stacked on a leading axis of size
             n_blocks; n_blocks must equal the 'stage' mesh axis size (one block
             per stage; group blocks before stacking for multi-block stages).
-        block_fn: fn(block, x) -> x applying one stage's block.
+        block_fn: fn(block, x) -> x applying one stage's block — or
+            fn(block, x, extras) -> x when ``extras_micro`` is given.
         x_micro: (n_micro, micro_batch, ...) microbatched activations (the
             model-level pre-block embedding).
         mesh: Mesh with ``axis_name``.
+        extras_micro: Optional pytree of per-microbatch side inputs with
+            leading axis n_micro (e.g. PixelSNAIL's raw image conditioning);
+            they ride the ICI ring alongside the activation so every stage
+            sees the extras belonging to the microbatch it is processing.
     Returns:
         (n_micro, micro_batch, ...) outputs after all stages.
     """
     n_stages = mesh.shape[axis_name]
     n_micro = x_micro.shape[0]
     n_ticks = n_micro + n_stages - 1
+    has_extras = extras_micro is not None
+    if not has_extras:
+        extras_micro = jnp.zeros((n_micro, 1), x_micro.dtype)  # placeholder
 
-    def shard_fn(blocks_local, x_all):
+    def shard_fn(blocks_local, x_all, extras_all):
         # blocks_local: this stage's block (leading axis 1); x_all: all
         # microbatches (replicated). Stage 0 feeds the pipe; others receive.
         stage = jax.lax.axis_index(axis_name)
         block = jax.tree_util.tree_map(lambda a: a[0], blocks_local)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
+        def select(on_stage0, ring):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(stage == 0, a, b), on_stage0, ring)
+
         carry = jnp.zeros_like(x_all[0])
+        extras_carry = jax.tree_util.tree_map(lambda e: jnp.zeros_like(e[0]),
+                                              extras_all)
         outputs = jnp.zeros_like(x_all)
         for t in range(n_ticks):
             # Stage 0 ingests microbatch t (if any) instead of the ring input.
             feed_idx = min(t, n_micro - 1)
             x_in = jnp.where(stage == 0, x_all[feed_idx], carry)
-            y = block_fn(block, x_in)
+            extras_in = select(
+                jax.tree_util.tree_map(lambda e: e[feed_idx], extras_all),
+                extras_carry)
+            if has_extras:
+                y = block_fn(block, x_in, extras_in)
+            else:
+                y = block_fn(block, x_in)
             # Last stage emits microbatch (t - n_stages + 1).
             out_idx = t - (n_stages - 1)
             if out_idx >= 0:
@@ -69,16 +89,69 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
                                  jnp.zeros_like(y))
                 outputs = outputs.at[out_idx].add(emit)
             carry = jax.lax.ppermute(y, axis_name, perm)
+            extras_carry = jax.tree_util.tree_map(
+                lambda e: jax.lax.ppermute(e, axis_name, perm), extras_in)
         # Each microbatch's output lives only on the last stage; sum-reduce to
         # replicate it everywhere (all other stages contributed zeros).
         return jax.lax.psum(outputs, axis_name)
 
     blocks_spec = jax.tree_util.tree_map(lambda _: P(axis_name),
                                          stacked_blocks)
+    extras_spec = jax.tree_util.tree_map(lambda _: P(), extras_micro)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(blocks_spec, P()), out_specs=P(), check_vma=False)
-    return fn(stacked_blocks, x_micro)
+        in_specs=(blocks_spec, P(), extras_spec), out_specs=P(),
+        check_vma=False)
+    return fn(stacked_blocks, x_micro, extras_micro)
+
+
+def group_and_stack(blocks, n_stages: int):
+    """Groups a homogeneous block tuple into n_stages equal stacked groups
+    (leading axes: (n_stages, per_stage, ...))."""
+    assert len(blocks) % n_stages == 0, (
+        f"{len(blocks)} blocks not divisible into {n_stages} stages")
+    per_stage = len(blocks) // n_stages
+    groups = [blocks[i * per_stage: (i + 1) * per_stage]
+              for i in range(n_stages)]
+    return stack_blocks([stack_blocks(g) for g in groups]), per_stage
+
+
+def pipeline_forward(blocks, apply_block, x, mesh: Mesh, n_micro: int,
+                     axis_name: str = "stage", extras=None):
+    """Generic GPipe forward over any homogeneous residual block stack.
+
+    Args:
+        blocks: Tuple of identically-structured block Modules.
+        apply_block: fn(block, h) -> h — or fn(block, h, extras) -> h — the
+            per-block computation (include residual/skip arithmetic here).
+        x: (N, ...) pre-block activations.
+        mesh: Mesh with ``axis_name`` (n_stages = its size; must divide
+            len(blocks) — consecutive blocks are grouped per stage).
+        n_micro: Number of microbatches (must divide N).
+        extras: Optional pytree of (N, ...) side inputs passed to every block
+            (microbatched alongside x).
+    Returns:
+        (N, ...) activations after all blocks.
+    """
+    n_stages = mesh.shape[axis_name]
+    stacked, per_stage = group_and_stack(blocks, n_stages)
+    has_extras = extras is not None
+
+    def group_fn(group, h, *extra_args):
+        def one(i, h):
+            block = jax.tree_util.tree_map(lambda a: a[i], group)
+            return apply_block(block, h, *extra_args)
+        return jax.lax.fori_loop(0, per_stage, one, h) if per_stage > 1 \
+            else one(0, h)
+
+    n = x.shape[0]
+    assert n % n_micro == 0, f"batch {n} not divisible into {n_micro} micros"
+    micro = lambda a: a.reshape(n_micro, n // n_micro, *a.shape[1:])
+    extras_micro = (jax.tree_util.tree_map(micro, extras)
+                    if has_extras else None)
+    out = pipeline_apply(stacked, group_fn, micro(x), mesh, axis_name,
+                         extras_micro=extras_micro)
+    return out.reshape(n, *x.shape[1:])
 
 
 def image_gpt_pipeline_forward(model, x, mesh: Mesh, n_micro: int,
@@ -89,24 +162,24 @@ def image_gpt_pipeline_forward(model, x, mesh: Mesh, n_micro: int,
     including the model's extra skip x + block(x) (image_gpt.py:105-109) —
     pipelines across stages.
     """
-    n_stages = mesh.shape[axis_name]
-    assert len(model.blocks) % n_stages == 0
-    per_stage = len(model.blocks) // n_stages
-    groups = [model.blocks[i * per_stage: (i + 1) * per_stage]
-              for i in range(n_stages)]
-    stacked = stack_blocks([stack_blocks(g) for g in groups])
-
-    def group_fn(group, h):
-        def one(i, h):
-            block = jax.tree_util.tree_map(lambda a: a[i], group)
-            return h + block(h)
-        return jax.lax.fori_loop(0, per_stage, one, h) if per_stage > 1 \
-            else one(0, h)
-
-    n = x.shape[0]
-    assert n % n_micro == 0
     h = model.input_conv(x + model.pos)
-    h_micro = h.reshape(n_micro, n // n_micro, *h.shape[1:])
-    out = pipeline_apply(stacked, group_fn, h_micro, mesh, axis_name)
-    out = out.reshape(n, *h.shape[1:])
+    out = pipeline_forward(model.blocks, lambda block, h: h + block(h), h,
+                           mesh, n_micro, axis_name)
     return model.out_conv(model.ln(out))
+
+
+def pixel_snail_pipeline_forward(model, x, mesh: Mesh, n_micro: int,
+                                 axis_name: str = "stage"):
+    """PixelSNAIL forward with its blocks pipeline-sharded.
+
+    Each PixelSNAILBlock also consumes the raw input image (attention extra-kv
+    conditioning, pixel_snail.py:118-123); it rides the ring as a per-
+    microbatch extra so every stage attends over the image belonging to the
+    microbatch it is processing.
+    """
+    h = model.input_conv(x)
+    out = pipeline_forward(
+        model.pixel_snail_blocks,
+        lambda block, h, img: h + block(h, img), h, mesh, n_micro, axis_name,
+        extras=x)
+    return model.output_conv2(model.output_conv1(out))

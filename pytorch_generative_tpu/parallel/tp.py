@@ -44,6 +44,38 @@ IMAGE_GPT_TP_RULES = (
     (r"mlp_conv2\.weight", P(None, None, MODEL_AXIS, None)),
 )
 
+# PixelSNAIL: each ResidualBlock is input_conv (c->c) -> elu -> output_conv
+# (c->2c) -> gate; the elementwise elu makes (input_conv out, output_conv in)
+# a Megatron pair — the block's inner channels live on 'model' and GSPMD
+# reduces output_conv's partial sums over ICI. The attention channels
+# (key 4 / value 32 in reproduce()) are too small to be worth sharding.
+PIXEL_SNAIL_TP_RULES = (
+    (r"residual_blocks\[\d+\]\.input_conv\.weight",
+     P(None, None, None, MODEL_AXIS)),
+    (r"residual_blocks\[\d+\]\.input_conv\.bias", P(MODEL_AXIS)),
+    (r"residual_blocks\[\d+\]\.output_conv\.weight",
+     P(None, None, MODEL_AXIS, None)),
+)
+
+# VD-VAE: every BottleneckBlock is conv1 (1x1 c->b) -> gelu -> conv2 (3x3) ->
+# gelu -> conv3 (3x3) -> gelu -> conv4 (1x1 b->c); sharding the bottleneck
+# width as two Megatron pairs (conv1/conv2 and conv3/conv4) keeps all GELUs
+# fully sharded and reduces each pair's partial sums once.
+VD_VAE_TP_RULES = (
+    (r"conv1\.weight", P(None, None, None, MODEL_AXIS)),
+    (r"conv1\.bias", P(MODEL_AXIS)),
+    (r"conv2\.weight", P(None, None, MODEL_AXIS, None)),
+    (r"conv3\.weight", P(None, None, None, MODEL_AXIS)),
+    (r"conv3\.bias", P(MODEL_AXIS)),
+    (r"conv4\.weight", P(None, None, MODEL_AXIS, None)),
+)
+
+TP_RULES_BY_MODEL = {
+    "image_gpt": IMAGE_GPT_TP_RULES,
+    "pixel_snail": PIXEL_SNAIL_TP_RULES,
+    "vd_vae": VD_VAE_TP_RULES,
+}
+
 
 def tree_shardings(tree, mesh: Mesh, rules=IMAGE_GPT_TP_RULES):
     """A sharding pytree for `tree`: rule-matched leaves get their spec,

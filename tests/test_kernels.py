@@ -70,3 +70,69 @@ def test_flash_backward_fully_masked_rows_no_grad():
     grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     for g in grads:
         np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+@pytest.mark.parametrize("mask_center", [False, True])
+def test_flash_attention_bf16_tiles_match_f32_reference(mask_center):
+    """bfloat16 inputs ride the MXU's native bf16 path (f32 accumulation /
+    f32 softmax stats); values and grads must track the f32 reference within
+    bf16 resolution."""
+    q, k, v = _qkv(128, seed=2)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+
+    expected = attn_ref.causal_attention(q, k, v, mask_center=mask_center)
+    got = attention_pallas.flash_causal_attention(
+        qb, kb, vb, mask_center=mask_center, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(expected), atol=3e-2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn_ref.causal_attention(q, k, v, mask_center) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(attention_pallas.causal_attention_trainable(
+            q, k, v, mask_center).astype(jnp.float32) ** 2)
+
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qb, kb, vb)
+    for got_g, want_g, name in zip(grads_flash, grads_ref, "qkv"):
+        assert got_g.dtype == jnp.bfloat16
+        scale = np.abs(np.asarray(want_g)).max()
+        np.testing.assert_allclose(
+            np.asarray(got_g, np.float32) / scale,
+            np.asarray(want_g) / scale, atol=4e-2,
+            err_msg=f"d{name} mismatch")
+
+
+@pytest.mark.parametrize("mask_center,extra", [(False, 0), (True, 2)])
+def test_causal_attention_module_flash_packed_path(mask_center, extra):
+    """nn.CausalAttention's packed flash path (no host-side head transposes)
+    must equal the jnp reference path, including extra_x-into-kv and
+    mask_center, in values AND parameter gradients."""
+    from pytorch_generative_tpu import core, nn
+
+    key = jax.random.PRNGKey(5)
+    kwargs = dict(in_channels=6, n_heads=2, embed_channels=4, out_channels=6,
+                  mask_center=mask_center, extra_input_channels=extra)
+    flash = nn.CausalAttention(key, use_flash=True, **kwargs)
+    ref = nn.CausalAttention(key, use_flash=False, **kwargs)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 8, 8, 6)), jnp.float32)
+    extra_x = (jnp.asarray(rng.random((2, 8, 8, extra)), jnp.float32)
+               if extra else None)
+
+    np.testing.assert_allclose(np.asarray(flash(x, extra_x)),
+                               np.asarray(ref(x, extra_x)), atol=2e-5)
+
+    def loss(mod):
+        return jnp.sum(mod(x, extra_x) ** 2)
+
+    pf, rf = core.partition(flash)
+    pr, rr = core.partition(ref)
+    gf = jax.grad(lambda p: loss(core.combine(p, rf)))(pf)
+    gr = jax.grad(lambda p: loss(core.combine(p, rr)))(pr)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -332,3 +332,122 @@ def test_multihost_flag_single_host_noop():
     import train as train_cli
 
     assert train_cli.maybe_init_multihost() is False
+
+
+def test_pixel_snail_tensor_parallel_matches_single_device():
+    """PixelSNAIL with its residual-block channels Megatron-sharded over
+    ('data', 'model') must match the unsharded step (PIXEL_SNAIL_TP_RULES)."""
+    import optax
+
+    snail = models.PixelSNAIL(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, n_channels=8,
+        n_pixel_snail_blocks=2, n_residual_blocks=2,
+        attention_key_channels=2, attention_value_channels=4,
+        in_shape=(8, 8, 1))
+    params, rest = core.partition(snail)
+    tx = optax.sgd(0.1)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)) < 0.5,
+                    jnp.float32)
+
+    def step(p, r, opt_state, xb):
+        def loss_fn(p):
+            m = core.combine(p, r)
+            preds = m.forward(xb)
+            n = xb.shape[0]
+            return optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), loss
+
+    p1, loss1 = jax.jit(step)(params, rest, tx.init(params), x)
+
+    mesh = parallel.make_2d_mesh(4, 2)
+    rules = parallel.PIXEL_SNAIL_TP_RULES
+    p_sh = parallel.shard_tree(params, mesh, rules)
+    r_sh = parallel.shard_tree(rest, mesh, rules)
+    x_sh = parallel.shard_batch_2d(x, mesh)
+    p2, loss2 = jax.jit(step)(p_sh, r_sh, tx.init(p_sh), x_sh)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_vd_vae_tensor_parallel_matches_single_device():
+    """VD-VAE with bottleneck widths Megatron-sharded must match the
+    unsharded step exactly: GSPMD preserves program semantics, so even the
+    reparameterization noise (same rng key, same program) is identical."""
+    import optax
+
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+
+    model = models.VeryDeepVAE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+        input_resolution=8, stack_configs=(StackConfig(1, 1),
+                                           StackConfig(1, 1)),
+        latent_channels=2, hidden_channels=8, bottleneck_channels=4,
+        in_shape=(8, 8, 1))
+    params, rest = core.partition(model)
+    tx = optax.sgd(0.01)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)) < 0.5,
+                    jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def step(p, r, opt_state, xb):
+        def loss_fn(p):
+            m = core.combine(p, r)
+            (preds, kl_div), _ = m.forward_with_state(xb, rng=rng,
+                                                      training=True)
+            n = xb.shape[0]
+            recon = optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), xb.reshape(n, -1)).sum(1)
+            return (recon + kl_div).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), loss
+
+    p1, loss1 = jax.jit(step)(params, rest, tx.init(params), x)
+
+    mesh = parallel.make_2d_mesh(4, 2)
+    rules = parallel.VD_VAE_TP_RULES
+    p_sh = parallel.shard_tree(params, mesh, rules)
+    r_sh = parallel.shard_tree(rest, mesh, rules)
+    x_sh = parallel.shard_batch_2d(x, mesh)
+    p2, loss2 = jax.jit(step)(p_sh, r_sh, tx.init(p_sh), x_sh)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pixel_snail_pipeline_matches_forward():
+    """GPipe-sharded PixelSNAIL == its plain forward: the raw-image extra
+    rides the ring with each microbatch (and grads flow)."""
+    snail = models.PixelSNAIL(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, n_channels=4,
+        n_pixel_snail_blocks=2, n_residual_blocks=1,
+        attention_key_channels=2, attention_value_channels=4,
+        in_shape=(8, 8, 1))
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)) < 0.5,
+                    jnp.float32)
+    mesh = parallel.make_mesh(2, axis_name="stage")
+
+    expected = snail.forward(x)
+    got = parallel.pixel_snail_pipeline_forward(snail, x, mesh, n_micro=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-4)
+
+    def loss(m):
+        return jnp.sum(
+            parallel.pixel_snail_pipeline_forward(m, x, mesh, n_micro=4) ** 2)
+
+    params, rest = core.partition(snail)
+    grads = jax.grad(lambda p: loss(core.combine(p, rest)))(params)
+    total = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
