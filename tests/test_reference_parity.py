@@ -84,13 +84,17 @@ def test_vector_quantizer_parity():
 # Autoregressive models
 # ---------------------------------------------------------------------------
 
-def test_nade_parity():
-    ours = models.NADE(KEY, input_dim=64, hidden_dim=16, in_shape=(8, 8, 1))
-    theirs = ref.models.NADE(input_dim=64, hidden_dim=16)
+def copy_nade(ours, theirs):
     theirs._in_W.data = torch.tensor(np.asarray(ours.in_W))
     theirs._in_b.data = torch.tensor(np.asarray(ours.in_b))
     theirs._h_W.data = torch.tensor(np.asarray(ours.h_W))
     theirs._h_b.data = torch.tensor(np.asarray(ours.h_b))
+
+
+def test_nade_parity():
+    ours = models.NADE(KEY, input_dim=64, hidden_dim=16, in_shape=(8, 8, 1))
+    theirs = ref.models.NADE(input_dim=64, hidden_dim=16)
+    copy_nade(ours, theirs)
     x = (RNG.random((2, 64)) < 0.5).astype(np.float32)
     got = np.asarray(ours.forward(jnp.asarray(x)))
     with torch.no_grad():
@@ -116,14 +120,18 @@ def test_fvbn_parity():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_made_parity():
-    ours = models.MADE(KEY, input_dim=16, hidden_dims=[12], n_masks=1,
-                       in_shape=(4, 4, 1))
-    theirs = ref.models.MADE(input_dim=16, hidden_dims=[12], n_masks=1)
+def copy_made(ours, theirs):
     ref_layers = [m for m in theirs._net.modules()
                   if isinstance(m, ref.models.autoregressive.made.MaskedLinear)]
     for our_layer, ref_layer in zip(ours.layers, ref_layers):
         compat.copy_linear(our_layer, ref_layer)
+
+
+def test_made_parity():
+    ours = models.MADE(KEY, input_dim=16, hidden_dims=[12], n_masks=1,
+                       in_shape=(4, 4, 1))
+    theirs = ref.models.MADE(input_dim=16, hidden_dims=[12], n_masks=1)
+    copy_made(ours, theirs)
     # Same mask recipe: ours precomputes with seed 0; the reference samples
     # masks inside forward from the same seeded RNG.
     x = (RNG.random((2, 16)) < 0.5).astype(np.float32)
@@ -218,15 +226,7 @@ def test_image_gpt_parity():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_pixel_snail_parity():
-    ours = models.PixelSNAIL(KEY, in_channels=3, out_channels=3, n_channels=4,
-                             n_pixel_snail_blocks=2, n_residual_blocks=2,
-                             attention_key_channels=2,
-                             attention_value_channels=2, in_shape=(8, 8, 3))
-    theirs = ref.models.PixelSNAIL(in_channels=3, out_channels=3, n_channels=4,
-                                   n_pixel_snail_blocks=2, n_residual_blocks=2,
-                                   attention_key_channels=2,
-                                   attention_value_channels=2)
+def copy_pixel_snail(ours, theirs):
     compat.copy_conv(ours.input_conv, theirs._input)
     for our_block, ref_block in zip(ours.pixel_snail_blocks,
                                     theirs._pixel_snail_blocks):
@@ -243,6 +243,18 @@ def test_pixel_snail_parity():
         compat.copy_conv(our_block.out, ref_block._out)
     compat.copy_conv(ours.output_conv1, theirs._output[0])
     compat.copy_conv(ours.output_conv2, theirs._output[1])
+
+
+def test_pixel_snail_parity():
+    ours = models.PixelSNAIL(KEY, in_channels=3, out_channels=3, n_channels=4,
+                             n_pixel_snail_blocks=2, n_residual_blocks=2,
+                             attention_key_channels=2,
+                             attention_value_channels=2, in_shape=(8, 8, 3))
+    theirs = ref.models.PixelSNAIL(in_channels=3, out_channels=3, n_channels=4,
+                                   n_pixel_snail_blocks=2, n_residual_blocks=2,
+                                   attention_key_channels=2,
+                                   attention_value_channels=2)
+    copy_pixel_snail(ours, theirs)
     x = _img()
     got = np.asarray(ours.forward(jnp.asarray(x)))
     with torch.no_grad():

@@ -43,9 +43,11 @@ def _batches(n_steps, shape, seed=0, binary=True):
     return [rng.random(shape).astype(np.float32) for _ in range(n_steps)]
 
 
-def _train_ours(model, jax_loss, batches, lr, use_jit=True):
-    """N Adam steps; returns per-step losses. State (e.g. VQ-EMA) threads
-    through like the Trainer's train step."""
+def _train_ours(model, jax_loss, batches, lr, use_jit=True,
+                return_model=False):
+    """N Adam steps; returns per-step losses (and the trained module when
+    return_model=True). State (e.g. VQ-EMA) threads through like the
+    Trainer's train step."""
     params, rest = core.partition(model)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -69,6 +71,8 @@ def _train_ours(model, jax_loss, batches, lr, use_jit=True):
         params, rest, opt_state, loss = step(params, rest, opt_state,
                                              jnp.asarray(x))
         losses.append(float(loss))
+    if return_model:
+        return losses, core.combine(params, rest)
     return losses
 
 
@@ -413,3 +417,63 @@ def test_gated_pixel_cnn_gradient_parity():
     np.testing.assert_allclose(
         np.asarray(grads.head_conv2.weight).transpose(3, 2, 0, 1),
         theirs._head[3].weight.grad.numpy(), atol=1e-4)
+
+
+def test_nade_training_trajectory_parity():
+    ours = models.NADE(KEY, input_dim=64, hidden_dim=16, in_shape=(8, 8, 1))
+    theirs = ref.models.NADE(input_dim=64, hidden_dim=16)
+    parity.copy_nade(ours, theirs)
+    batches = _batches(N_STEPS, (4, 8, 8, 1))
+    _assert_trajectories_match(
+        _train_ours(ours, _bce_jax, batches, lr=1e-3),
+        _train_theirs(theirs, _bce_torch, batches, lr=1e-3))
+
+
+def test_made_training_trajectory_parity():
+    """n_masks=1: both frameworks use the same deterministic connectivity
+    masks, so trajectories must agree (masked entries: ours get zero grads,
+    torch's are re-zeroed by weight.data *= mask each forward)."""
+    ours = models.MADE(KEY, input_dim=64, hidden_dims=[32], n_masks=1,
+                       in_shape=(8, 8, 1))
+    theirs = ref.models.MADE(input_dim=64, hidden_dims=[32], n_masks=1)
+    parity.copy_made(ours, theirs)
+    batches = _batches(N_STEPS, (4, 8, 8, 1))
+    _assert_trajectories_match(
+        _train_ours(ours, _bce_jax, batches, lr=1e-3),
+        _train_theirs(theirs, _bce_torch, batches, lr=1e-3))
+
+
+def test_fvbn_training_trajectory_parity():
+    """Ours trains one masked (D, D) matmul; the reference trains D ragged
+    per-dimension Linears — the trajectories must still coincide."""
+    ours = models.FullyVisibleBeliefNetwork(KEY, n_dims=64,
+                                            in_shape=(8, 8, 1))
+    theirs = ref.models.FullyVisibleBeliefNetwork(n_dims=64)
+    w = np.asarray(ours.weight)
+    bias = np.asarray(ours.bias)
+    for i, lin in enumerate(theirs._net):
+        if i == 0:
+            lin.weight.data = torch.zeros(1, 1)
+        else:
+            lin.weight.data = torch.tensor(w[:i, i][None, :])
+        lin.bias.data = torch.tensor(bias[i: i + 1])
+    batches = _batches(N_STEPS, (4, 8, 8, 1))
+    _assert_trajectories_match(
+        _train_ours(ours, _bce_jax, batches, lr=1e-3),
+        _train_theirs(theirs, _bce_torch, batches, lr=1e-3))
+
+
+def test_pixel_snail_training_trajectory_parity():
+    ours = models.PixelSNAIL(KEY, in_channels=1, out_channels=1, n_channels=4,
+                             n_pixel_snail_blocks=1, n_residual_blocks=1,
+                             attention_key_channels=2,
+                             attention_value_channels=2, in_shape=(8, 8, 1))
+    theirs = ref.models.PixelSNAIL(
+        in_channels=1, out_channels=1, n_channels=4, n_pixel_snail_blocks=1,
+        n_residual_blocks=1, attention_key_channels=2,
+        attention_value_channels=2)
+    parity.copy_pixel_snail(ours, theirs)
+    batches = _batches(N_STEPS, (4, 8, 8, 1))
+    _assert_trajectories_match(
+        _train_ours(ours, _bce_jax, batches, lr=1e-3),
+        _train_theirs(theirs, _bce_torch, batches, lr=1e-3))
