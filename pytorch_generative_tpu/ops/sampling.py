@@ -18,6 +18,8 @@ work during sampling by storing previous activations").
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -310,7 +312,6 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     mid_caches0 = zero_maps(n_channels)
     k_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_k))
     v_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_v))
-    pos_ids = jnp.arange(seq_len)
 
     def conv2x2_at(cache, conv, row, col):
         """Evaluates a 2x2 conv (pad-1-crop semantics) at (row, col) from a
@@ -324,7 +325,11 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
         half = y.shape[-1] // 2
         return y[..., :half] * jax.nn.sigmoid(y[..., half:])
 
-    def step(carry, inputs):
+    # Segment r's pixels attend strictly below (r+1)*seg, so the scores read
+    # a prefix-static cache slice (see image_gpt_sample_fast); `window` is
+    # bound per segment via functools.partial.
+    def step(carry, inputs, *, window):
+        pos_ids = jnp.arange(window)
         padded_canvas, elu_caches, mid_caches, k_cache, v_cache = carry
         i, step_rng = inputs
         row, col = i // w, i % w
@@ -359,7 +364,8 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
             # Attention at i over cached k/v of positions < i (mask_center).
             q_in = jnp.concatenate([pos_val, res], axis=-1)
             q = _conv1x1(q_in, block.attention.q_proj).reshape(n, n_heads, d_k)
-            scores = jnp.einsum("nhd,nhld->nhl", q, k_cache[b]) / jnp.sqrt(
+            scores = jnp.einsum("nhd,nhld->nhl", q,
+                                k_cache[b, :, :, :window]) / jnp.sqrt(
                 jnp.asarray(d_k, x.dtype))
             scores = jnp.where(pos_ids < i, scores, -jnp.inf)
             maxval = jnp.max(scores, axis=-1, keepdims=True)
@@ -367,7 +373,7 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
             unnorm = jnp.where(pos_ids < i, jnp.exp(scores - maxval), 0.0)
             denom = jnp.sum(unnorm, axis=-1, keepdims=True)
             probs = unnorm / jnp.where(denom == 0.0, 1.0, denom)
-            attn = jnp.einsum("nhl,nhlv->nhv", probs, v_cache[b])
+            attn = jnp.einsum("nhl,nhlv->nhv", probs, v_cache[b, :, :, :window])
             attn = _conv1x1(attn.reshape(n, n_heads * d_v),
                             block.attention.out_proj)
             pending_kv.append((b, q_in))
@@ -404,10 +410,16 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
         return carry, None
 
     rngs = jax.random.split(rng, seq_len)
-    carry0 = (padded_canvas, elu_caches0, mid_caches0, k_cache0, v_cache0)
-    (padded_canvas, _, _, _, _), _ = jax.lax.scan(
-        step, carry0, (pos_ids, rngs))
-    return padded_canvas[:, pad:-pad, pad:-pad, :]
+    all_ids = jnp.arange(seq_len)
+    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
+    seg = seq_len // n_segments
+    carry = (padded_canvas, elu_caches0, mid_caches0, k_cache0, v_cache0)
+    for r in range(n_segments):
+        sl = slice(r * seg, (r + 1) * seg)
+        carry, _ = jax.lax.scan(
+            functools.partial(step, window=(r + 1) * seg), carry,
+            (all_ids[sl], rngs[sl]))
+    return carry[0][:, pad:-pad, pad:-pad, :]
 
 
 def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
@@ -423,11 +435,12 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
     n, h, w, c = conditioned_on.shape
     seq_len = h * w
-    n_blocks = len(model.blocks)
     attn0 = model.blocks[0].attn
     n_heads = attn0.n_heads
-    d_k = attn0.embed_channels // n_heads
-    d_v = attn0.out_channels // n_heads
+    embed = attn0.embed_channels
+    out_ch = attn0.out_channels
+    d_k = embed // n_heads
+    d_v = out_ch // n_heads
 
     # The input conv is 3x3 padding=1 -> keep a zero-padded canvas so a (row,
     # col) output position maps to patch origin (row, col) in padded coords.
@@ -440,59 +453,90 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     in_mask = model.input_conv.mask
     in_b = model.input_conv.bias
 
-    k_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_k))
-    v_cache0 = jnp.zeros((n_blocks, n, n_heads, seq_len, d_v))
-    pos_ids = jnp.arange(seq_len)
+    # The scan step is op-count-bound (hundreds of tiny ops per pixel), so the
+    # per-block work is fused down: q and kv projections share their input
+    # (ln1(x)), so each block gets ONE fused qkv matmul. K and V stay in
+    # separate caches — a combined cache would need per-step window slices
+    # that materialize copies.
+    qkv_ws = [jnp.concatenate([blk.attn.q_proj.weight[0, 0],
+                               blk.attn.kv_proj.weight[0, 0]], axis=-1)
+              for blk in model.blocks]
+    qkv_bs = [jnp.concatenate([blk.attn.q_proj.bias, blk.attn.kv_proj.bias])
+              for blk in model.blocks]
 
-    def step(carry, inputs):
-        padded_canvas, k_cache, v_cache = carry
-        i, step_rng = inputs
-        row, col = i // w, i % w
+    def step_for_window(window):
+        """A scan step whose attention reads only the first `window` cache
+        positions (static slice) — segmented decoding (see below)."""
 
-        # Masked 3x3 input conv at (row, col) on canvas + positional embedding.
-        x = _masked_conv_at(padded_canvas + padded_pos, in_w, in_mask, in_b,
-                            row, col, n)
+        def step(carry, inputs):
+            padded_canvas, k_cache, v_cache = carry
+            i, step_rng = inputs
+            row, col = i // w, i % w
+            pos_ids = jnp.arange(window)
 
-        for b, block in enumerate(model.blocks):
-            x_in = x
-            # --- attention on one query position with cached K/V ---
-            q_in = block.ln1(x_in)
-            q = _conv1x1(q_in, block.attn.q_proj).reshape(n, n_heads, d_k)
-            kv = _conv1x1(q_in, block.attn.kv_proj)
-            k_i = kv[:, : attn0.embed_channels].reshape(n, n_heads, d_k)
-            v_i = kv[:, attn0.embed_channels:].reshape(n, n_heads, d_v)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_i[None, :, :, None, :], (b, 0, 0, i, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_i[None, :, :, None, :], (b, 0, 0, i, 0))
+            # Masked 3x3 input conv at (row, col) + positional embedding.
+            x = _masked_conv_at(padded_canvas + padded_pos, in_w, in_mask,
+                                in_b, row, col, n)
 
-            scores = jnp.einsum("nhd,nhld->nhl", q, k_cache[b]) / jnp.sqrt(
-                jnp.asarray(d_k, x.dtype))
-            scores = jnp.where(pos_ids <= i, scores, -jnp.inf)
-            probs = jax.nn.softmax(scores, axis=-1)
-            attn_out = jnp.einsum("nhl,nhlv->nhv", probs, v_cache[b])
-            attn_out = _conv1x1(attn_out.reshape(n, n_heads * d_v),
-                                block.attn.out_proj)
-            x1 = x_in + attn_out
-            # --- MLP ---
-            mlp = _conv1x1(jax.nn.gelu(_conv1x1(block.ln2(x1),
-                                                block.mlp_conv1),
-                                       approximate=False),
-                           block.mlp_conv2)
-            block_out = x1 + mlp
-            # Model-level extra skip: x = x + block(x) (image_gpt.py:105-109).
-            x = x_in + block_out
+            for b, block in enumerate(model.blocks):
+                x_in = x
+                # --- attention on one query position with cached K/V ---
+                qkv = block.ln1(x_in) @ qkv_ws[b] + qkv_bs[b]
+                q = qkv[:, :embed].reshape(n, n_heads, d_k)
+                k_i = qkv[:, embed: 2 * embed].reshape(n, n_heads, d_k)
+                v_i = qkv[:, 2 * embed:].reshape(n, n_heads, d_v)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_i[None, :, :, None, :], (b, 0, 0, i, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_i[None, :, :, None, :], (b, 0, 0, i, 0))
 
-        logits = _conv1x1(model.ln(x), model.out_conv)  # (n, out_c)
-        sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
-        current = jax.lax.dynamic_slice(
-            padded_canvas, (0, row + pad, col + pad, 0), (n, 1, 1, c))
-        merged = jnp.where(current < 0, sampled, current)
-        padded_canvas = jax.lax.dynamic_update_slice(
-            padded_canvas, merged, (0, row + pad, col + pad, 0))
-        return (padded_canvas, k_cache, v_cache), None
+                scores = jnp.einsum(
+                    "nhd,nhld->nhl", q, k_cache[b, :, :, :window]) / jnp.sqrt(
+                        jnp.asarray(d_k, x.dtype))
+                scores = jnp.where(pos_ids <= i, scores, -jnp.inf)
+                probs = jax.nn.softmax(scores, axis=-1)
+                attn_out = jnp.einsum("nhl,nhlv->nhv", probs,
+                                      v_cache[b, :, :, :window])
+                attn_out = _conv1x1(attn_out.reshape(n, n_heads * d_v),
+                                    block.attn.out_proj)
+                x1 = x_in + attn_out
+                # --- MLP ---
+                mlp = _conv1x1(jax.nn.gelu(_conv1x1(block.ln2(x1),
+                                                    block.mlp_conv1),
+                                           approximate=False),
+                               block.mlp_conv2)
+                block_out = x1 + mlp
+                # Model-level extra skip: x = x + block(x)
+                # (image_gpt.py:105-109).
+                x = x_in + block_out
 
+            logits = _conv1x1(model.ln(x), model.out_conv)  # (n, out_c)
+            sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
+            current = jax.lax.dynamic_slice(
+                padded_canvas, (0, row + pad, col + pad, 0), (n, 1, 1, c))
+            merged = jnp.where(current < 0, sampled, current)
+            padded_canvas = jax.lax.dynamic_update_slice(
+                padded_canvas, merged, (0, row + pad, col + pad, 0))
+            return (padded_canvas, k_cache, v_cache), None
+
+        return step
+
+    k_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_k))
+    v_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_v))
     rngs = jax.random.split(rng, seq_len)
-    (padded_canvas, _, _), _ = jax.lax.scan(
-        step, (padded_canvas, k_cache0, v_cache0), (pos_ids, rngs))
+    all_ids = jnp.arange(seq_len)
+
+    # Segmented decoding: pixels in segment r only ever attend to positions
+    # < (r+1)*seg, so each segment's scan reads a prefix-static slice of the
+    # cache — roughly halving cache traffic vs attending over the full
+    # (mostly empty) cache at every pixel. Identical math (masked softmax
+    # over a prefix), so draws match the naive sampler exactly.
+    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
+    seg = seq_len // n_segments
+    carry = (padded_canvas, k_cache0, v_cache0)
+    for r in range(n_segments):
+        sl = slice(r * seg, (r + 1) * seg)
+        carry, _ = jax.lax.scan(step_for_window((r + 1) * seg), carry,
+                                (all_ids[sl], rngs[sl]))
+    padded_canvas = carry[0]
     return padded_canvas[:, pad:-pad, pad:-pad, :]
