@@ -477,3 +477,82 @@ def test_pixel_snail_training_trajectory_parity():
     _assert_trajectories_match(
         _train_ours(ours, _bce_jax, batches, lr=1e-3),
         _train_theirs(theirs, _bce_torch, batches, lr=1e-3))
+
+
+def test_vd_vae_training_trajectory_parity(monkeypatch):
+    """The hardest model (TopDown prior/posterior KL plumbing, per-resolution
+    biases, 1/sqrt(n) weight scaling): per-step ELBO parity with the
+    reparameterization noise pinned to the same sequence on both sides."""
+    import sys
+
+    import pytorch_generative_tpu.models.vae.vaes as our_vaes
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+    from tests.test_reference_parity_extended import _copy_bottleneck
+
+    RefStackConfig = ref.models.vae.vd_vae.StackConfig
+    ours = models.VeryDeepVAE(
+        KEY, in_channels=1, out_channels=1, input_resolution=8,
+        stack_configs=(StackConfig(1, 1), StackConfig(1, 1)),
+        latent_channels=2, hidden_channels=8, bottleneck_channels=4,
+        in_shape=(8, 8, 1))
+    theirs = ref.models.VeryDeepVAE(
+        in_channels=1, out_channels=1, input_resolution=8,
+        stack_configs=[RefStackConfig(1, 1), RefStackConfig(1, 1)],
+        latent_channels=2, hidden_channels=8, bottleneck_channels=4)
+
+    # Weight copy (mirrors test_vd_vae_deterministic_paths_parity).
+    compat.copy_conv(ours.input_conv, theirs._input)
+    for our_stack, ref_stack in zip(ours.encoder, theirs._encoder):
+        for our_block, ref_block in zip(our_stack.residuals,
+                                        ref_stack._residuals):
+            _copy_bottleneck(our_block, ref_block)
+    for our_stack, ref_stack in zip(ours.decoder, theirs._decoder):
+        for our_td, ref_td in zip(our_stack.topdowns, ref_stack._topdowns):
+            _copy_bottleneck(our_td.prior, ref_td._prior)
+            _copy_bottleneck(our_td.posterior, ref_td._posterior)
+            compat.copy_conv(our_td.latents, ref_td._latents)
+            _copy_bottleneck(our_td.out, ref_td._out)
+    for our_bias, ref_bias in zip(ours.biases, theirs._biases):
+        ref_bias.data = compat.to_torch_nchw(np.asarray(our_bias))
+    compat.copy_conv(ours.output_conv, theirs._output)
+
+    # Pin the reparameterization noise to one shared sequence (NCHW-major,
+    # transposed for our NHWC latents) — both frameworks draw one z per
+    # TopDown block in the same top-down order.
+    def make_noise_source(seed):
+        gen = np.random.default_rng(seed)
+        return lambda nchw: gen.standard_normal(nchw).astype(np.float32)
+
+    our_noise, their_noise = make_noise_source(7), make_noise_source(7)
+
+    def our_sample(rng, mu, log_sig):
+        del rng
+        n, hh, ww, cc = mu.shape
+        noise = our_noise((n, cc, hh, ww)).transpose(0, 2, 3, 1)
+        return mu + jnp.exp(log_sig) * jnp.asarray(noise)
+
+    def their_sample(mu, log_sig):
+        return mu + log_sig.exp() * torch.tensor(their_noise(tuple(mu.shape)))
+
+    monkeypatch.setattr(our_vaes, "sample_from_gaussian", our_sample)
+    monkeypatch.setattr(sys.modules[type(theirs).__module__].vaes,
+                        "sample_from_gaussian", their_sample)
+
+    def jax_loss(x, preds):
+        preds, kl_div = preds
+        n = x.shape[0]
+        recon = optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1)
+        return (recon + kl_div).mean()
+
+    def torch_loss(x, preds):
+        preds, kl_div = preds
+        n = x.shape[0]
+        recon = F.binary_cross_entropy_with_logits(
+            preds.reshape(n, -1), x.reshape(n, -1), reduction="none").sum(dim=1)
+        return (recon + kl_div).mean()
+
+    batches = _batches(N_STEPS, (4, 8, 8, 1))
+    our_losses = _train_ours(ours, jax_loss, batches, lr=5e-4, use_jit=False)
+    their_losses = _train_theirs(theirs, torch_loss, batches, lr=5e-4)
+    _assert_trajectories_match(our_losses, their_losses)
