@@ -137,12 +137,12 @@ def bench_train(model, batch_size, n_steps, chunk, compute_dtype=None):
     return batch_size * max(n_steps // chunk, 1) * chunk / dt
 
 
-def bench_sampler(make_model_and_shape, n_samples, n_rounds=3):
+def bench_sampler(make_model, n_samples, n_rounds=3):
     """Returns images/sec for a jitted fast sampler (fetch-fenced)."""
     import jax
     import jax.numpy as jnp
 
-    model, _ = make_model_and_shape()
+    model = make_model()
 
     @jax.jit
     def sample(rng):
@@ -207,59 +207,52 @@ def main():
               mfu=round(sps_big * flops / V5E_BF16_PEAK_FLOPS, 4))
 
         # --- Fast samplers (reproduce() configs, n=16 like the reference).
-        def gpt16():
-            return _make_imagegpt(0), 16
-
-        sps = bench_sampler(gpt16, 16)
+        sps = bench_sampler(lambda: _make_imagegpt(0), 16)
         _emit("imagegpt_sample_throughput", sps, "images/sec", sample_base)
 
         # Larger sample batches amortize the 784-step scan (latency-bound at
         # n=16, ~0.7ms/pixel-step of kernel-dispatch floor); report the
         # scaling curve.
-        sps = bench_sampler(gpt16, 64, n_rounds=2)
+        sps = bench_sampler(lambda: _make_imagegpt(0), 64, n_rounds=2)
         _emit("imagegpt_sample_throughput_n64", sps, "images/sec",
               sample_base)
-        sps = bench_sampler(gpt16, 256, n_rounds=2)
+        sps = bench_sampler(lambda: _make_imagegpt(0), 256, n_rounds=2)
         _emit("imagegpt_sample_throughput_n256", sps, "images/sec",
               sample_base)
 
         def pixel_cnn():
-            m = models.PixelCNN(
+            return models.PixelCNN(
                 jax.random.PRNGKey(0), in_channels=1, out_channels=1,
                 n_residual=15, residual_channels=16, head_channels=32,
                 in_shape=(28, 28, 1))
-            return m, 16
 
         _emit("pixel_cnn_sample_throughput", bench_sampler(pixel_cnn, 16),
               "images/sec", sample_base)
 
         def gated():
-            m = models.GatedPixelCNN(
+            return models.GatedPixelCNN(
                 jax.random.PRNGKey(0), in_channels=1, out_channels=1,
                 n_gated=10, gated_channels=128, head_channels=32,
                 in_shape=(28, 28, 1))
-            return m, 16
 
         _emit("gated_pixel_cnn_sample_throughput", bench_sampler(gated, 16),
               "images/sec", sample_base)
 
         def made():
-            m = models.MADE(jax.random.PRNGKey(0), input_dim=784,
-                            hidden_dims=[8000], n_masks=1,
-                            in_shape=(28, 28, 1))
-            return m, 16
+            return models.MADE(jax.random.PRNGKey(0), input_dim=784,
+                               hidden_dims=[8000], n_masks=1,
+                               in_shape=(28, 28, 1))
 
         _emit("made_sample_throughput", bench_sampler(made, 16),
               "images/sec", sample_base)
 
         if os.environ.get("BENCH_SNAIL", "1") == "1":
             def snail():
-                m = models.PixelSNAIL(
+                return models.PixelSNAIL(
                     jax.random.PRNGKey(0), in_channels=1, out_channels=1,
                     n_channels=64, n_pixel_snail_blocks=8,
                     n_residual_blocks=2, attention_key_channels=4,
                     attention_value_channels=32, in_shape=(28, 28, 1))
-                return m, 16
 
             _emit("pixel_snail_sample_throughput", bench_sampler(snail, 16),
                   "images/sec", sample_base)

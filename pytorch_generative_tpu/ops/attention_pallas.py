@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 _NEG_INF = float("-inf")
 
 
@@ -242,16 +242,18 @@ def _pad_to(x, size, axis):
 
 
 def _pick_blocks(l, block_q, block_k):
-    """Picks the largest multiple-of-8 block <= 512 that divides l exactly.
+    """Picks the largest multiple-of-8 block <= the requested sizes that
+    divides l exactly.
 
-    An exact divisor removes sequence padding entirely: for L=784 the old
-    pow2 scheme padded to 1024, wasting ~50% of the causal tile work plus a
+    An exact divisor removes sequence padding entirely: for L=784 the pow2
+    scheme padded to 1024, wasting ~50% of the causal tile work plus a
     pad/slice copy of every operand around each kernel call (measured on v5e
     to rival the attention math itself). The stats arrays are lane-replicated
-    (block_q, 128) tiles, so any multiple-of-8 block_q is legal. Falls back
+    (block_q, 128) tiles, so any multiple-of-8 block_q is legal. The caller's
+    block sizes are an upper bound (VMEM tiles grow as block^2); falls back
     to pow2 padding for awkward lengths.
     """
-    cap = min(max(max(block_q, block_k), 512), l)
+    cap = min(max(block_q, block_k), l)
     for b in range(cap - cap % 8, 7, -8):
         if l % b == 0:
             return b, b
@@ -329,8 +331,11 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
     kf = _pad_to(k, l_pad, 1)
     vf = _pad_to(v, l_pad, 1)
     dof = _pad_to(g, l_pad, 1)
-    # lse is (B, H, l_pad, 128) lane-replicated from the forward; padded rows
-    # carry lse = -inf so they contribute nothing.
+    # lse is (B, H, l_pad, 128) lane-replicated from the forward. NOTE:
+    # padded query rows can carry a *finite* lse (zero q against real keys);
+    # their dk/dv/dq contributions vanish because the padded dout rows are
+    # zero (ds = p * (0 - 0)), not because of the lse value — don't build
+    # logic on padded-row lse being -inf.
     lse_f = lse
     # Per-head delta rows, laid out to match the lse stats array.
     prod = (dof.astype(jnp.float32)

@@ -44,8 +44,8 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
         mesh: Mesh with ``axis_name``.
         extras_micro: Optional pytree of per-microbatch side inputs with
             leading axis n_micro (e.g. PixelSNAIL's raw image conditioning);
-            they ride the ICI ring alongside the activation so every stage
-            sees the extras belonging to the microbatch it is processing.
+            replicated on every stage, so stage s just indexes the extras of
+            the microbatch (t - s) it is processing — no ring traffic.
     Returns:
         (n_micro, micro_batch, ...) outputs after all stages.
     """
@@ -63,22 +63,20 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
         block = jax.tree_util.tree_map(lambda a: a[0], blocks_local)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        def select(on_stage0, ring):
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(stage == 0, a, b), on_stage0, ring)
-
         carry = jnp.zeros_like(x_all[0])
-        extras_carry = jax.tree_util.tree_map(lambda e: jnp.zeros_like(e[0]),
-                                              extras_all)
         outputs = jnp.zeros_like(x_all)
         for t in range(n_ticks):
             # Stage 0 ingests microbatch t (if any) instead of the ring input.
             feed_idx = min(t, n_micro - 1)
             x_in = jnp.where(stage == 0, x_all[feed_idx], carry)
-            extras_in = select(
-                jax.tree_util.tree_map(lambda e: e[feed_idx], extras_all),
-                extras_carry)
             if has_extras:
+                # Stage s processes microbatch (t - s) at tick t; pre-warmup
+                # (t < s) the clipped index pairs garbage activations with
+                # microbatch 0's extras, but those outputs never reach an
+                # emitted slot.
+                micro_idx = jnp.clip(t - stage, 0, n_micro - 1)
+                extras_in = jax.tree_util.tree_map(
+                    lambda e: jnp.take(e, micro_idx, axis=0), extras_all)
                 y = block_fn(block, x_in, extras_in)
             else:
                 y = block_fn(block, x_in)
@@ -89,8 +87,6 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
                                  jnp.zeros_like(y))
                 outputs = outputs.at[out_idx].add(emit)
             carry = jax.lax.ppermute(y, axis_name, perm)
-            extras_carry = jax.tree_util.tree_map(
-                lambda e: jax.lax.ppermute(e, axis_name, perm), extras_in)
         # Each microbatch's output lives only on the last stage; sum-reduce to
         # replicate it everywhere (all other stages contributed zeros).
         return jax.lax.psum(outputs, axis_name)

@@ -175,6 +175,7 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._eval_step_replicated = self._build_eval_step_replicated()
         self._sample_batch = None  # built lazily (models may not sample)
 
         os.makedirs(self.log_dir, exist_ok=True)
@@ -298,6 +299,17 @@ class Trainer:
                           P(parallel.DATA_AXIS), P()),
                 out_specs=P(),
                 check_vma=False)
+        return jax.jit(step)
+
+    def _build_eval_step_replicated(self):
+        """Plain-jit eval step for the (< n_devices) batch remainder the
+        sharded step can't cover — eval must count every example."""
+
+        def step(params, rest, x, y, rng):
+            model = core.combine(params, rest)
+            metrics, _ = self.compute_metrics(model, x, y, rng, training=False)
+            return metrics
+
         return jax.jit(step)
 
     # ------------------------------------------------------------------
@@ -477,16 +489,30 @@ class Trainer:
             # --- Evaluate (example-weighted means, trainer.py:268-278) ---
             n_examples, sum_metrics = 0, collections.defaultdict(float)
             for x, y in self.eval_loader:
-                x, y_arr = self._prepare_batch(x, y)
+                x_full = np.asarray(x, np.float32)
+                y_full = None if y is None else np.asarray(y)
+                x, y_arr = self._prepare_batch(x_full, y_full)
                 n_batch = x.shape[0]
-                if n_batch == 0:
-                    continue
-                metrics = jax.device_get(self._eval_step(
-                    self._params, self._rest, jnp.asarray(x), y_arr,
-                    self._next_rng()))
-                n_examples += n_batch
-                for key, metric in metrics.items():
-                    sum_metrics[key] += float(metric) * n_batch
+                if n_batch:
+                    metrics = jax.device_get(self._eval_step(
+                        self._params, self._rest, jnp.asarray(x), y_arr,
+                        self._next_rng()))
+                    n_examples += n_batch
+                    for key, metric in metrics.items():
+                        sum_metrics[key] += float(metric) * n_batch
+                # Examples the sharded step can't cover (batch % n_devices)
+                # still count — the reference evaluates every example
+                # (trainer.py:269-277) — via the replicated fallback step.
+                rem = x_full.shape[0] - n_batch
+                if rem:
+                    metrics = jax.device_get(self._eval_step_replicated(
+                        self._params, self._rest,
+                        jnp.asarray(x_full[n_batch:]),
+                        None if y_full is None else y_full[n_batch:],
+                        self._next_rng()))
+                    n_examples += rem
+                    for key, metric in metrics.items():
+                        sum_metrics[key] += float(metric) * rem
             if n_examples:
                 eval_metrics = {k: v / n_examples for k, v in sum_metrics.items()}
                 self._log_metrics(eval_metrics, training=False, step=self._step)

@@ -451,3 +451,44 @@ def test_pixel_snail_pipeline_matches_forward():
     total = sum(float(jnp.abs(g).sum())
                 for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(total) and total > 0
+
+
+def test_dp_eval_counts_every_example(tmp_path):
+    """Eval under the mesh must cover examples the sharded step can't
+    (batch % n_devices != 0) via the replicated fallback — the reference
+    evaluates every example (trainer.py:269-277)."""
+    import json
+    import os
+
+    class CountingLoader:
+        def __init__(self, xs):
+            self.xs = xs
+
+        def __iter__(self):
+            return iter((x, None) for x in self.xs)
+
+    rng = np.random.default_rng(0)
+    # 11 = 8 sharded + 3 remainder; plus a 5-example batch (< n_devices).
+    eval_xs = [rng.random((11, 4, 4, 1)).astype(np.float32),
+               rng.random((5, 4, 4, 1)).astype(np.float32)]
+    train_loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8)
+
+    def run(n_devices, log_dir):
+        model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                            in_shape=(4, 4, 1))
+        t = trainer.Trainer(
+            model=model, loss_fn=_nade_loss, optimizer=optax.sgd(0.0),
+            train_loader=train_loader, eval_loader=CountingLoader(eval_xs),
+            log_dir=log_dir, n_devices=n_devices, use_tensorboard=False)
+        t.interleaved_train_and_eval(max_epochs=1, restore=False)
+        records = [json.loads(line)
+                   for line in open(os.path.join(log_dir, "metrics.jsonl"))]
+        evals = [r for r in records
+                 if r["tag"] == "metrics/loss" and "eval" in r]
+        return evals[-1]["eval"]
+
+    # lr=0 so both runs evaluate identical weights; the example-weighted eval
+    # loss must match the single-device run exactly (same 16 examples).
+    loss1 = run(1, str(tmp_path / "d1"))
+    loss8 = run(8, str(tmp_path / "d8"))
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
