@@ -10,6 +10,7 @@ from pytorch_generative_tpu.models.autoregressive import (  # noqa: F401
     fvbn,
     gated_pixel_cnn,
     image_gpt,
+    image_gpt_moe,
     made,
     nade,
     pixel_cnn,
@@ -23,6 +24,9 @@ from pytorch_generative_tpu.models.autoregressive.gated_pixel_cnn import (  # no
 )
 from pytorch_generative_tpu.models.autoregressive.image_gpt import (  # noqa: F401
     ImageGPT,
+)
+from pytorch_generative_tpu.models.autoregressive.image_gpt_moe import (  # noqa: F401
+    ImageGPTMoE,
 )
 from pytorch_generative_tpu.models.autoregressive.made import MADE  # noqa: F401
 from pytorch_generative_tpu.models.autoregressive.nade import NADE  # noqa: F401
@@ -73,6 +77,7 @@ __all__ = [
     "GaussianMixtureModel",
     "GaussianProcess",
     "ImageGPT",
+    "ImageGPTMoE",
     "KernelDensityEstimator",
     "MADE",
     "NADE",

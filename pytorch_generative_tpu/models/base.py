@@ -85,6 +85,12 @@ class GenerativeModel(core.Module):
 class AutoregressiveModel(GenerativeModel):
     """Base class for autoregressive models: generic raster-scan sampling."""
 
+    def _forward_logits(self, x):
+        """Forward pass restricted to per-pixel logits. Models whose forward
+        returns extra outputs (e.g. ImageGPTMoE's aux loss) override this so
+        the generic sampler still applies."""
+        return self.forward(x)
+
     def _get_conditioned_on(self, n_samples, conditioned_on):
         assert (n_samples is not None) or (conditioned_on is not None), (
             'Must provide one, and only one, of "n_samples" or "conditioned_on"')
@@ -109,7 +115,7 @@ class AutoregressiveModel(GenerativeModel):
         def step(canvas, inputs):
             idx, step_rng = inputs
             row, col = idx // w, idx % w
-            out = self.forward(canvas)
+            out = self._forward_logits(canvas)
             logits = jax.lax.dynamic_slice(
                 out, (0, row, col, 0), (n, 1, 1, out.shape[-1]))
             sampled = self.sample_fn(step_rng, logits.reshape(n, -1))

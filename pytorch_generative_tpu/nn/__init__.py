@@ -21,6 +21,7 @@ from pytorch_generative_tpu.nn.convolution import (
     upsample_nearest_2x,
 )
 from pytorch_generative_tpu.nn.linear import Linear, MaskedLinear
+from pytorch_generative_tpu.nn.moe import SparseMoE
 from pytorch_generative_tpu.nn.utils import ReZeroWrapper, VectorQuantizer
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "upsample_nearest_2x",
     "Linear",
     "MaskedLinear",
+    "SparseMoE",
     "ReZeroWrapper",
     "VectorQuantizer",
 ]

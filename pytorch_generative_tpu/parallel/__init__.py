@@ -1,3 +1,6 @@
+from pytorch_generative_tpu.parallel.ep import (  # noqa: F401
+    moe_forward_expert_parallel,
+)
 from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     make_mesh,

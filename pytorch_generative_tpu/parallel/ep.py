@@ -1,0 +1,88 @@
+"""Expert parallelism: SparseMoE execution sharded over an 'expert' mesh axis.
+
+The classic GShard/Switch layout on a TPU slice: the batch is sharded over the
+same mesh axis that shards the experts (so each device routes its local tokens
+and owns E/D experts), and two ``all_to_all`` collectives move token slots
+between routing devices and expert owners over ICI:
+
+    local routing -> all_to_all(split experts, concat slots)
+    -> local expert MLPs (each device runs only its experts, on every device's
+       slots for those experts) -> all_to_all back -> local combine.
+
+Everything stays static-shape: per-device capacity is computed from the local
+token count, dropped tokens contribute zero, and the dispatch/combine einsums
+are identical to the dense path (nn/moe.py::SparseMoE.route — shared code).
+
+The reference framework has no MoE or expert parallelism; together with dp
+(mesh.py), tp (tp.py), sp (ring_attention.py), and pp (pp.py) this completes
+the dp/tp/sp/pp/ep portfolio. Routing math follows the public Switch
+Transformer (arXiv:2101.03961) / GShard (arXiv:2006.16668) formulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pytorch_generative_tpu.nn.moe import capacity_for
+
+
+def moe_forward_expert_parallel(moe, x, mesh: Mesh,
+                                axis_name: str = "expert"):
+    """Runs a SparseMoE forward with experts sharded over ``axis_name``.
+
+    Args:
+        moe: A ``nn.moe.SparseMoE`` whose ``n_experts`` is divisible by the
+            mesh axis size.
+        x: (N, ..., C) activations; N must be divisible by the axis size (the
+            batch is sharded over the same axis — dp x ep combined).
+        mesh: Mesh containing ``axis_name``.
+    Returns:
+        (y, aux_loss): y shaped like x (fully replicated result of the
+        sharded computation), aux_loss the mean over devices of the local
+        Switch load-balancing losses.
+
+    Equivalence with the dense path: exact when no token exceeds expert
+    capacity (use capacity_factor >= E to guarantee it); under capacity
+    pressure the two paths may drop different tokens (local vs global arrival
+    order), which is inherent to capacity-based routing, not an error.
+    """
+    n_devices = mesh.shape[axis_name]
+    n_experts = moe.n_experts
+    assert n_experts % n_devices == 0, (
+        f"{n_experts} experts not divisible over {n_devices} devices")
+    assert x.shape[0] % n_devices == 0, (
+        f"batch {x.shape[0]} not divisible over {n_devices} devices")
+
+    # Split the module into (replicated router, expert-sharded stacks). Every
+    # array field rides in as a shard_map input — nothing is closed over, so
+    # no full-size expert weight is ever materialized per device.
+    expert_leaves = {"w1": moe.w1, "b1": moe.b1, "w2": moe.w2, "b2": moe.b2}
+    router = moe.gate
+    local_tokens = (x.size // x.shape[-1]) // n_devices
+    capacity = capacity_for(local_tokens, n_experts, moe.capacity_factor)
+
+    def shard_fn(router_p, expert_w, x_local):
+        m = moe.replace(gate=router_p, **expert_w)
+        tokens = x_local.reshape(-1, x_local.shape[-1])
+        dispatch, combine, aux = m.route(tokens, capacity)
+        expert_in = jnp.einsum("tec,td->ecd", dispatch, tokens)
+        # (E, cap, C) -> (E/D, D*cap, C): deliver each expert's slots to its
+        # owning device; receive every device's slots for our experts.
+        expert_in = jax.lax.all_to_all(
+            expert_in, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        out = m.apply_experts(expert_in)
+        out = jax.lax.all_to_all(
+            out, axis_name, split_axis=1, concat_axis=0, tiled=True)
+        y = jnp.einsum("tec,ecd->td", combine, out)
+        return y.reshape(x_local.shape), jax.lax.pmean(aux, axis_name)
+
+    expert_spec = {k: P(axis_name) for k in expert_leaves}
+    router_spec = jax.tree_util.tree_map(lambda _: P(), router)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(router_spec, expert_spec, P(axis_name)),
+        out_specs=(P(axis_name), P()), check_vma=False)
+    y, aux = fn(router, expert_leaves, x)
+    return y, aux

@@ -1,0 +1,186 @@
+"""Tests for the SparseMoE layer, expert parallelism, and ImageGPTMoE.
+
+The reference has no MoE; these tests pin the Switch routing invariants
+(capacity accounting, load-balance loss), exact dense==expert-parallel
+agreement on the virtual 8-device mesh, causality of the MoE transformer, and
+end-to-end training through the Trainer.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pytorch_generative_tpu import core, models, parallel, trainer
+from pytorch_generative_tpu.nn.moe import SparseMoE, capacity_for
+
+
+def test_sparse_moe_forward_shape_and_aux():
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=16, hidden_channels=32,
+                    n_experts=4, capacity_factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    y, aux = moe(x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # Switch aux loss is 1.0 at perfectly uniform routing and >= that bound.
+    assert 0.9 <= float(aux) < 4.0
+
+
+def test_sparse_moe_matches_manual_expert_mlp():
+    """With capacity ample, each token's output must equal
+    gate_prob * mlp_{argmax expert}(token) — the Switch contract."""
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=4, capacity_factor=4.0)  # cap = T, no drops
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    y, _ = moe(tokens)
+
+    probs = jax.nn.softmax(moe.gate(tokens), axis=-1)
+    idx = jnp.argmax(probs, axis=-1)
+    want = []
+    for t in range(tokens.shape[0]):
+        e = int(idx[t])
+        h = jax.nn.gelu(tokens[t] @ moe.w1[e] + moe.b1[e], approximate=False)
+        want.append(float(probs[t, e]) * (h @ moe.w2[e] + moe.b2[e]))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(jnp.stack(want)),
+                               atol=1e-5)
+
+
+def test_sparse_moe_capacity_drops_tokens_to_zero():
+    """Tokens routed past capacity contribute exactly zero output."""
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=2, capacity_factor=0.25)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    cap = capacity_for(16, 2, 0.25)  # = 2 slots per expert
+    y, _ = moe(tokens)
+    dispatch, _, _ = moe.route(tokens, cap)
+    kept = np.asarray(dispatch.sum(axis=(1, 2)))  # 1 if kept, 0 if dropped
+    assert kept.sum() <= 2 * cap
+    dropped = np.asarray(y)[kept == 0]
+    np.testing.assert_allclose(dropped, 0.0, atol=1e-7)
+
+
+def test_sparse_moe_gradients_flow():
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=2, capacity_factor=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (64, 8))
+    params, rest = core.partition(moe)
+
+    def loss(p):
+        m = core.combine(p, rest)
+        y, aux = m(x)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # With 64 tokens over 2 experts both experts get traffic, so every
+    # expert's weights see nonzero gradient.
+    assert float(jnp.abs(grads.w1).sum()) > 0
+    assert float(jnp.abs(grads.gate.weight).sum()) > 0
+
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+@needs_mesh
+def test_expert_parallel_matches_dense():
+    """EP over the 8-device mesh == the dense single-device forward, exactly
+    (capacity_factor = E guarantees no token is ever dropped)."""
+    mesh8 = parallel.make_mesh(8, axis_name="expert")
+    n_experts = 8
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=16, hidden_channels=32,
+                    n_experts=n_experts, capacity_factor=float(n_experts))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 16))
+    y_dense, _ = moe(x)
+    y_ep, aux_ep = parallel.moe_forward_expert_parallel(moe, x, mesh8)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
+                               atol=1e-5)
+    assert np.isfinite(float(aux_ep))
+
+
+@needs_mesh
+def test_expert_parallel_grads_flow():
+    mesh8 = parallel.make_mesh(8, axis_name="expert")
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=8, capacity_factor=8.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 8))
+    params, rest = core.partition(moe)
+
+    @jax.jit
+    def loss(p, x):
+        m = core.combine(p, rest)
+        y, aux = parallel.moe_forward_expert_parallel(m, x, mesh8)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    val, grads = jax.value_and_grad(loss)(params, x)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def _tiny_moe_gpt(key=0):
+    return models.ImageGPTMoE(
+        jax.random.PRNGKey(key), in_channels=1, out_channels=1, in_size=8,
+        n_transformer_blocks=2, n_attention_heads=2, n_embedding_channels=8,
+        n_experts=4, in_shape=(8, 8, 1))
+
+
+def test_image_gpt_moe_forward_and_sample():
+    model = _tiny_moe_gpt()
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 1)) < 0.5)
+    logits, aux = model.forward(x.astype(jnp.float32))
+    assert logits.shape == (2, 8, 8, 1)
+    assert np.isfinite(float(aux))
+    samples = model.sample(jax.random.PRNGKey(2), n_samples=2)
+    assert samples.shape == (2, 8, 8, 1)
+    assert set(np.unique(np.asarray(samples))) <= {0.0, 1.0}
+
+
+def test_image_gpt_moe_is_causal():
+    """d logits[i] / d x[j] == 0 for j >= i (raster order) — the MoE mixes
+    only the channel axis, so causality must be exactly that of ImageGPT."""
+    model = _tiny_moe_gpt()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 1))
+
+    def logit_at(x, i):
+        out, _ = model.forward(x)
+        return out.reshape(-1)[i]
+
+    for i in [0, 9, 37]:
+        g = jax.grad(lambda x: logit_at(x, i))(x).reshape(-1)
+        assert float(jnp.abs(g[i:]).sum()) == 0.0, f"future leak at {i}"
+        if i > 0:
+            assert float(jnp.abs(g[:i]).sum()) > 0.0
+
+
+def test_image_gpt_moe_trains(tmp_path):
+    """End-to-end through the Trainer: metrics finite, loss decreases."""
+    from pytorch_generative_tpu import datasets
+
+    model = _tiny_moe_gpt()
+    train_loader, _ = datasets.get_synthetic_mnist_loaders(
+        batch_size=16, n_train=32, image_size=8)
+
+    def loss_fn(x, _, preds):
+        logits, aux = preds
+        n = x.shape[0]
+        bce = optax.sigmoid_binary_cross_entropy(
+            logits.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+        return {"loss": bce + 0.01 * aux, "bce": bce, "moe_aux": aux}
+
+    t = trainer.Trainer(
+        model=model, loss_fn=loss_fn, optimizer=optax.adam(2e-3),
+        train_loader=train_loader, eval_loader=train_loader,
+        log_dir=str(tmp_path), use_tensorboard=False)
+    first = None
+    for _ in range(8):
+        for batch in train_loader:
+            x = batch[0] if isinstance(batch, (tuple, list)) else batch
+            metrics, _ = t.train_one_step(x, None)
+            loss = float(np.asarray(metrics["loss"]))
+            if first is None:
+                first = loss
+    assert np.isfinite(loss)
+    assert loss < first

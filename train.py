@@ -30,6 +30,7 @@ def _register_optional_models():
     for name, module_path in {
         "gated_pixel_cnn": "pytorch_generative_tpu.models.autoregressive.gated_pixel_cnn",
         "image_gpt": "pytorch_generative_tpu.models.autoregressive.image_gpt",
+        "image_gpt_moe": "pytorch_generative_tpu.models.autoregressive.image_gpt_moe",
         "pixel_cnn": "pytorch_generative_tpu.models.autoregressive.pixel_cnn",
         "pixel_snail": "pytorch_generative_tpu.models.autoregressive.pixel_snail",
         "vae": "pytorch_generative_tpu.models.vae.vae",
