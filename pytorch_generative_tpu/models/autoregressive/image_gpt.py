@@ -90,9 +90,15 @@ class ImageGPT(base.AutoregressiveModel):
     def forward(self, x, *, rng=None, training=False):
         del rng, training
         x = self.input_conv(x + self.pos)
+        # Run the transformer middle on flat (N, L, C) sequences: one reshape
+        # here instead of per-block rank-4<->rank-3 round-trips, which XLA
+        # turned into a layout-conversion copy at every block boundary
+        # (profile-measured on v5e; see CausalAttention.__call__).
+        n, h, w, c = x.shape
+        x = x.reshape(n, h * w, c)
         for block in self.blocks:
             x = x + block(x)
-        return self.out_conv(self.ln(x))
+        return self.out_conv(self.ln(x.reshape(n, h, w, c)))
 
     def sample(self, rng, n_samples=None, conditioned_on=None):
         """KV-cache incremental decoding: O(C^2 + L*C) per pixel instead of a

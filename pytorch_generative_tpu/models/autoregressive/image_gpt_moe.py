@@ -99,12 +99,14 @@ class ImageGPTMoE(base.AutoregressiveModel):
                 axis_name: str = "expert"):
         del rng, training
         h = self.input_conv(x + self.pos)
+        n, hh, ww, c = h.shape
+        h = h.reshape(n, hh * ww, c)  # flat middle; see ImageGPT.forward
         aux_total = 0.0
         for block in self.blocks:
             out, aux = block(h, mesh=mesh, axis_name=axis_name)
             h = h + out
             aux_total = aux_total + aux
-        logits = self.out_conv(self.ln(h))
+        logits = self.out_conv(self.ln(h.reshape(n, hh, ww, c)))
         return logits, aux_total / len(self.blocks)
 
     def _forward_logits(self, x):

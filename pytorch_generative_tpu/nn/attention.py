@@ -100,34 +100,48 @@ class CausalAttention(core.Module):
         self.out_proj = Conv2d(pk, self.out_channels, self.out_channels, 1)
 
     def __call__(self, x, extra_x=None):
-        n, h, w, _ = x.shape
+        """Accepts NHWC images (N, H, W, C) or flat sequences (N, L, C).
+
+        The flat form lets transformer stacks (ImageGPT) run their whole
+        middle on rank-3 tensors: profiling on v5e showed XLA assigning
+        batch-minor layouts to rank-4 block activations and inserting a
+        layout-conversion copy at every block boundary (~40% of the train
+        step's HBM traffic); with a single flatten outside the block loop
+        those copies disappear.
+        """
+        rank3 = x.ndim == 3
+        if rank3:
+            n, l, _ = x.shape
+        else:
+            n, h, w, _ = x.shape
+            l = h * w
         q_feat = self.q_proj(x)
         if extra_x is not None:
             x = jnp.concatenate([x, extra_x], axis=-1)
         kv = self.kv_proj(x)
+        flat = lambda t: t if rank3 else t.reshape(n, l, t.shape[-1])
         if self.use_flash:
-            # Packed path: (N, H*W, features) straight into the kernel — the
+            # Packed path: (N, L, features) straight into the kernel — the
             # per-head tiles are carved out by the kernel's index maps, so no
             # head-split transposes ever materialize (they cost ~10x the
             # attention math on v5e).
             from pytorch_generative_tpu.ops.attention_pallas import (
                 causal_attention_packed,
             )
-            flat = lambda t: t.reshape(n, h * w, t.shape[-1])
             out = causal_attention_packed(
                 flat(q_feat), flat(kv[..., : self.embed_channels]),
                 flat(kv[..., self.embed_channels:]), self.mask_center,
                 self.n_heads)
-            out = out.reshape(n, h, w, self.out_channels)
         else:
-            q = attn_ops.nhwc_to_heads(q_feat, self.n_heads)
-            k = attn_ops.nhwc_to_heads(kv[..., : self.embed_channels],
-                                       self.n_heads)
-            v = attn_ops.nhwc_to_heads(kv[..., self.embed_channels:],
-                                       self.n_heads)
-            out = attn_ops.causal_attention(q, k, v,
-                                            mask_center=self.mask_center)
-            out = attn_ops.heads_to_nhwc(out, h, w)
+            to_heads = lambda t: flat(t).reshape(
+                n, l, self.n_heads, -1).transpose(0, 2, 1, 3)
+            out = attn_ops.causal_attention(
+                to_heads(q_feat), to_heads(kv[..., : self.embed_channels]),
+                to_heads(kv[..., self.embed_channels:]),
+                mask_center=self.mask_center)
+            out = out.transpose(0, 2, 1, 3).reshape(n, l, self.out_channels)
+        if not rank3:
+            out = out.reshape(n, h, w, self.out_channels)
         return self.out_proj(out)
 
 
