@@ -63,7 +63,7 @@ def image_gpt_train_flops_per_sample(n_blocks=8, n_heads=2, c=64, l=784,
     return 3 * fwd  # fwd + ~2x fwd for bwd
 
 
-def _make_imagegpt(key, use_flash=True):
+def _make_imagegpt(key, use_flash=True, n_channels=64, n_heads=2):
     import jax
 
     from pytorch_generative_tpu import models
@@ -75,8 +75,8 @@ def _make_imagegpt(key, use_flash=True):
     try:
         return models.ImageGPT(
             jax.random.PRNGKey(key), in_channels=1, out_channels=1,
-            in_size=28, n_transformer_blocks=8, n_attention_heads=2,
-            n_embedding_channels=64, in_shape=(28, 28, 1))
+            in_size=28, n_transformer_blocks=8, n_attention_heads=n_heads,
+            n_embedding_channels=n_channels, in_shape=(28, 28, 1))
     finally:
         if not use_flash:
             if old is None:
@@ -205,6 +205,20 @@ def main():
         _emit("imagegpt_train_throughput_bf16_bs512", sps_big, "samples/sec",
               train_base, batch_size=big_bs,
               mfu=round(sps_big * flops / V5E_BF16_PEAK_FLOPS, 4))
+
+        # --- Production-scale config: C=512 / 8 heads (d_k=64). The
+        # reproduce() toy config (C=64, d_k=32) structurally caps bf16 MXU
+        # utilization at 12.5% (32-deep contractions on a 256-deep bf16
+        # systolic pass); this point shows what the framework sustains when
+        # the model is big enough to fill the MXU.
+        large = _make_imagegpt(0, n_channels=512, n_heads=8)
+        sps_large = bench_train(large, batch_size, max(n_steps // 2, chunk),
+                                chunk, compute_dtype=jnp.bfloat16)
+        flops_large = image_gpt_train_flops_per_sample(c=512)
+        _emit("imagegpt_large_train_throughput_bf16", sps_large,
+              "samples/sec", None, n_channels=512, n_heads=8,
+              mfu=round(sps_large * flops_large / V5E_BF16_PEAK_FLOPS, 4),
+              flops_per_sample=flops_large)
 
         # --- Fast samplers (reproduce() configs, n=16 like the reference).
         sps = bench_sampler(lambda: _make_imagegpt(0), 16)

@@ -224,24 +224,38 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-def _pick_blocks(l, block_q, block_k):
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+
+
+def _pick_blocks(l, block_q, block_k, n_heads=1, d_k=0, d_v=0, itemsize=4,
+                 resident_bytes=0):
     """Picks the largest multiple-of-8 block <= the requested sizes that
-    divides l exactly.
+    divides l exactly AND fits the scoped-VMEM budget.
 
     An exact divisor removes sequence padding entirely: for L=784 the pow2
     scheme padded to 1024, wasting ~50% of the causal tile work plus a
     pad/slice copy of every operand around each kernel call (measured on v5e
     to rival the attention math itself). The stats arrays are lane-replicated
-    (block_q, 128) tiles, so any multiple-of-8 block_q is legal. The caller's
-    block sizes are an upper bound (VMEM tiles grow as block^2); falls back
-    to pow2 padding for awkward lengths.
+    (block_q, 128) tiles, so any multiple-of-8 block_q is legal.
+
+    The VMEM model: the in-kernel head loop is a static unroll, so Mosaic may
+    allocate every head's (block_q, block_k) f32 score/probability tiles at
+    once (~4 live f32 tiles per head measured from the compiler's scoped-vmem
+    accounting at n_embedding_channels=512), on top of the full-length
+    operand refs (``resident_bytes``). Without the cap a wide-feature config
+    dies in compile with "Ran out of memory in memory space vmem".
     """
     cap = min(max(block_q, block_k), l)
+    avail = max(_VMEM_BUDGET - resident_bytes, 1 << 20)
+    per_block2 = max(16 * n_heads, 1)  # ~4 f32 tiles per unrolled head
+    vmem_cap = int((avail / per_block2) ** 0.5)
+    cap = min(cap, max(vmem_cap, 64))
     for b in range(cap - cap % 8, 7, -8):
         if l % b == 0:
             return b, b
     cap2 = max(128, 1 << (max(l - 1, 1)).bit_length())
-    return min(block_q, cap2), min(block_k, cap2)
+    return (min(block_q, cap2, cap - cap % 8 or 8),
+            min(block_k, cap2, cap - cap % 8 or 8))
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
@@ -261,7 +275,11 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
     d_k = q.shape[-1] // n_heads
     d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
-    block_q, block_k = _pick_blocks(l, block_q, block_k)
+    # Full-length VMEM residents: the k/v refs (+ the lse output tile).
+    resident = (l * (q.shape[-1] + v.shape[-1]) * q.dtype.itemsize
+                + n_heads * l * 128 * 4)
+    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, d_k, d_v,
+                                    q.dtype.itemsize, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -307,7 +325,11 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
     d_k = q.shape[-1] // n_heads
     d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
-    block_q, block_k = _pick_blocks(l, block_q, block_k)
+    # Full-length VMEM residents: q, do, out, dq refs + the lse stats.
+    resident = (l * (2 * q.shape[-1] + 2 * v.shape[-1] + v.shape[-1])
+                * q.dtype.itemsize + n_heads * l * 128 * 4)
+    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, d_k, d_v,
+                                    q.dtype.itemsize, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -315,6 +337,11 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
     vf = _pad_to(v, l_pad, 1)
     dof = _pad_to(g, l_pad, 1)
     outf = _pad_to(out, l_pad, 1)
+    # The forward may have picked different blocks (VMEM budget differs);
+    # align the stats array to this pass's padded length. Padded rows carry
+    # lse = 0 (finite) but contribute nothing: their dout rows are zero.
+    if lse.shape[2] != l_pad:
+        lse = _pad_to(lse[:, :, :l_pad], l_pad, 2)
     # lse is (B, H, l_pad, 128) lane-replicated from the forward. NOTE:
     # padded query rows can carry a *finite* lse (zero q against real keys);
     # their dk/dv/dq contributions vanish because the padded dout rows are
