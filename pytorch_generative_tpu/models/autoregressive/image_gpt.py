@@ -57,11 +57,12 @@ class ImageGPT(base.AutoregressiveModel):
     blocks: tuple
     ln: ChannelLayerNorm
     out_conv: Conv2d
+    remat: bool = core.static_field()
 
     def __init__(self, key, in_channels: int = 1, out_channels: int = 1,
                  in_size: int = 28, n_transformer_blocks: int = 8,
                  n_attention_heads: int = 4, n_embedding_channels: int = 16,
-                 in_shape=None, sample_fn=None):
+                 in_shape=None, sample_fn=None, remat: bool = False):
         """Initializes a new ImageGPT instance.
 
         Args:
@@ -73,6 +74,11 @@ class ImageGPT(base.AutoregressiveModel):
                 Transformer hyperparameters.
             in_shape: (h, w, c) of training images.
             sample_fn: See the base class.
+            remat: Rematerialize each transformer block in the backward pass
+                (jax.checkpoint) — trades ~1 extra forward of FLOPs for O(1)
+                stored block activations, unblocking big-batch / wide-channel
+                configs that otherwise exhaust HBM (e.g. C=512 at batch 256
+                on a 16GB v5e).
         """
         in_shape = tuple(in_shape) if in_shape else (in_size, in_size, in_channels)
         super().__init__(in_shape=in_shape, sample_fn=sample_fn)
@@ -86,6 +92,7 @@ class ImageGPT(base.AutoregressiveModel):
             for i in range(n_transformer_blocks))
         self.ln = ChannelLayerNorm(n_embedding_channels)
         self.out_conv = Conv2d(keys[-1], n_embedding_channels, out_channels, 1)
+        self.remat = remat
 
     def forward(self, x, *, rng=None, training=False):
         del rng, training
@@ -96,8 +103,11 @@ class ImageGPT(base.AutoregressiveModel):
         # (profile-measured on v5e; see CausalAttention.__call__).
         n, h, w, c = x.shape
         x = x.reshape(n, h * w, c)
+        run_block = lambda block, x: x + block(x)
+        if self.remat:
+            run_block = jax.checkpoint(run_block)
         for block in self.blocks:
-            x = x + block(x)
+            x = run_block(block, x)
         return self.out_conv(self.ln(x.reshape(n, h, w, c)))
 
     def sample(self, rng, n_samples=None, conditioned_on=None):

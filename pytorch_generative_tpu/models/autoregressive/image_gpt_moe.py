@@ -112,6 +112,22 @@ class ImageGPTMoE(base.AutoregressiveModel):
     def _forward_logits(self, x):
         return self.forward(x)[0]
 
+    def sample(self, rng, n_samples=None, conditioned_on=None):
+        """KV-cache incremental decoding with drop-free top-1 expert MLPs
+        (see ops/sampling.py::image_gpt_moe_sample_fast; equivalence with the
+        naive sampler tested in the no-drop capacity regime)."""
+        from pytorch_generative_tpu.ops.sampling import (
+            image_gpt_moe_sample_fast,
+        )
+
+        return image_gpt_moe_sample_fast(self, rng, n_samples=n_samples,
+                                         conditioned_on=conditioned_on)
+
+    def sample_naive(self, rng, n_samples=None, conditioned_on=None):
+        """The generic full-forward-per-pixel raster sampler (base class)."""
+        return super().sample(rng, n_samples=n_samples,
+                              conditioned_on=conditioned_on)
+
 
 def reproduce(n_epochs=457, batch_size=64, log_dir="/tmp/run", n_devices=1,
               device_id=None, debug_loader=None):

@@ -158,3 +158,33 @@ def test_mixture_models_learn(cls):
 
     first, last = _train(model, loss_fn, lr=5e-2)
     assert last < first - 1.0, (first, last)
+
+def test_image_gpt_remat_matches_no_remat():
+    """ImageGPT's remat flag must not change loss or gradients."""
+
+    def make(remat):
+        return models.ImageGPT(
+            KEY, in_channels=1, out_channels=1, in_size=8,
+            n_transformer_blocks=2, n_attention_heads=2,
+            n_embedding_channels=8, in_shape=(8, 8, 1), remat=remat)
+
+    x = jnp.asarray(BATCH)
+
+    def loss(model):
+        params, rest = core.partition(model)
+
+        def f(p):
+            m = core.combine(p, rest)
+            preds = m.forward(x)
+            n = x.shape[0]
+            return optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+        val, grads = jax.value_and_grad(f)(params)
+        return float(val), jax.tree_util.tree_leaves(grads)
+
+    v0, g0 = loss(make(False))
+    v1, g1 = loss(make(True))
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

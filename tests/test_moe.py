@@ -184,3 +184,29 @@ def test_image_gpt_moe_trains(tmp_path):
                 first = loss
     assert np.isfinite(loss)
     assert loss < first
+
+
+def test_image_gpt_moe_fast_sampler_matches_naive():
+    """KV-cache MoE sampler == naive full-forward sampler (no-drop capacity:
+    capacity_factor = n_experts guarantees the full forward drops nothing, the
+    only regime where capacity-based MoE decoding is exactly causal)."""
+    model = models.ImageGPTMoE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=6,
+        n_transformer_blocks=2, n_attention_heads=2, n_embedding_channels=8,
+        n_experts=4, capacity_factor=4.0, in_shape=(6, 6, 1))
+    rng = jax.random.PRNGKey(7)
+    fast = model.sample(rng, n_samples=3)
+    naive = model.sample_naive(rng, n_samples=3)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+
+def test_image_gpt_moe_fast_sampler_inpainting():
+    model = models.ImageGPTMoE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=6,
+        n_transformer_blocks=2, n_attention_heads=2, n_embedding_channels=8,
+        n_experts=4, capacity_factor=4.0, in_shape=(6, 6, 1))
+    cond = -jnp.ones((2, 6, 6, 1))
+    cond = cond.at[:, :3].set(1.0)  # top half fixed
+    out = model.sample(jax.random.PRNGKey(3), conditioned_on=cond)
+    np.testing.assert_array_equal(np.asarray(out[:, :3]), 1.0)
+    assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
