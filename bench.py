@@ -137,6 +137,57 @@ def bench_train(model, batch_size, n_steps, chunk, compute_dtype=None):
     return batch_size * max(n_steps // chunk, 1) * chunk / dt
 
 
+def bench_train_generic(model, loss_fn, x_batch, n_steps, chunk, lr=1e-3,
+                        decay=0.999977):
+    """samples/sec for any model (incl. stateful forward_with_state, e.g.
+    VQ-EMA codebooks) with the loss threaded through the metrics-dict
+    protocol. Steps are fused lax.scan chunks like bench_train."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_generative_tpu import core
+    from pytorch_generative_tpu import optim as optim_tpu
+
+    tx, _ = optim_tpu.adam_multiplicative(lr, decay)
+    params, rest = core.partition(model)
+    opt_state = tx.init(params)
+
+    def step(carry, x):
+        params, rest, opt_state = carry
+
+        def lf(p):
+            m = core.combine(p, rest)
+            preds, new_m = m.forward_with_state(x, training=True)
+            _, new_rest = core.partition(new_m)
+            out = loss_fn(x, None, preds)
+            loss = out["loss"] if isinstance(out, dict) else out
+            return loss, new_rest
+
+        (loss, new_rest), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax as _optax
+        return (_optax.apply_updates(params, updates), new_rest,
+                opt_state), loss
+
+    @jax.jit
+    def train_chunk(params, rest, opt_state, xs):
+        (params, rest, opt_state), losses = jax.lax.scan(
+            step, (params, rest, opt_state), xs)
+        return params, rest, opt_state, losses[-1]
+
+    xs = jax.device_put(jnp.broadcast_to(
+        x_batch, (chunk,) + x_batch.shape))
+    params, rest, opt_state, loss = train_chunk(params, rest, opt_state, xs)
+    float(loss)
+    t0 = time.time()
+    for _ in range(max(n_steps // chunk, 1)):
+        params, rest, opt_state, loss = train_chunk(params, rest, opt_state,
+                                                    xs)
+    float(loss)
+    dt = time.time() - t0
+    return x_batch.shape[0] * max(n_steps // chunk, 1) * chunk / dt
+
+
 def bench_sampler(make_model, n_samples, n_rounds=3):
     """Returns images/sec for a jitted fast sampler (fetch-fenced)."""
     import jax
@@ -259,6 +310,43 @@ def main():
 
         _emit("made_sample_throughput", bench_sampler(made, 16),
               "images/sec", sample_base)
+
+        # --- Training throughput beyond the flagship: PixelCNN (masked-conv
+        # family) and VQ-VAE (stateful EMA codebook path), reproduce() configs
+        # vs the torch reference measured on this machine's CPU.
+        pc = models.PixelCNN(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+            n_residual=15, residual_channels=16, head_channels=32,
+            in_shape=(28, 28, 1))
+        import optax as _optax
+
+        def pc_loss(x, _, preds):
+            n = x.shape[0]
+            return _optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+
+        xb = jnp.asarray((np.random.default_rng(0).random(
+            (64, 28, 28, 1)) < 0.13).astype(np.float32))
+        sps = bench_train_generic(pc, pc_loss, xb, max(n_steps // 2, chunk),
+                                  chunk)
+        _emit("pixel_cnn_train_throughput", sps, "samples/sec",
+              base.get("reference_pixel_cnn_cpu_train_samples_per_sec"))
+
+        vq = models.VectorQuantizedVAE(
+            jax.random.PRNGKey(0), in_channels=3, out_channels=3,
+            hidden_channels=128, residual_channels=32, n_residual_blocks=2,
+            n_embeddings=512, embedding_dim=64, in_shape=(32, 32, 3))
+
+        def vq_loss(x, _, preds):
+            preds, vql = preds
+            return jnp.mean((preds - x) ** 2) + vql
+
+        xv = jnp.asarray(np.random.default_rng(1).random(
+            (128, 32, 32, 3)).astype(np.float32))
+        sps = bench_train_generic(vq, vq_loss, xv, max(n_steps // 2, chunk),
+                                  chunk, lr=2e-4)
+        _emit("vq_vae_train_throughput", sps, "samples/sec",
+              base.get("reference_vq_vae_cpu_train_samples_per_sec"))
 
         if os.environ.get("BENCH_SNAIL", "1") == "1":
             def snail():

@@ -210,3 +210,45 @@ def test_image_gpt_moe_fast_sampler_inpainting():
     out = model.sample(jax.random.PRNGKey(3), conditioned_on=cond)
     np.testing.assert_array_equal(np.asarray(out[:, :3]), 1.0)
     assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+
+
+@needs_mesh
+def test_image_gpt_moe_dp_matches_single_device(tmp_path):
+    """One DP step == one single-device step for the MoE transformer
+    (capacity_factor = n_experts so neither sharding drops tokens — per-shard
+    capacity accounting otherwise legitimately differs from global)."""
+    def make():
+        return models.ImageGPTMoE(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=8,
+            n_transformer_blocks=2, n_attention_heads=2,
+            n_embedding_channels=8, n_experts=4, capacity_factor=4.0,
+            in_shape=(8, 8, 1))
+
+    def loss_fn(x, _, preds):
+        logits, aux = preds
+        n = x.shape[0]
+        bce = optax.sigmoid_binary_cross_entropy(
+            logits.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+        return {"loss": bce + 0.01 * aux, "moe_aux": aux}
+
+    from pytorch_generative_tpu import debug
+
+    def run(n_devices):
+        loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+        t = trainer.Trainer(
+            model=make(), loss_fn=loss_fn, optimizer=optax.sgd(0.1),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / f"moe{n_devices}"),
+            n_devices=n_devices, use_tensorboard=False)
+        x = (np.random.default_rng(0).random((8, 8, 8, 1)) > 0.5).astype(
+            np.float32)
+        metrics, _ = t.train_one_step(x, None)
+        return (float(np.asarray(jax.device_get(metrics)["loss"])),
+                jax.device_get(t._params))
+
+    loss1, p1 = run(1)
+    loss8, p8 = run(8)
+    np.testing.assert_allclose(loss1, loss8, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(a, b, atol=2e-5)
