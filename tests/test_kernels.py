@@ -136,3 +136,35 @@ def test_causal_attention_module_flash_packed_path(mask_center, extra):
     for a, b in zip(jax.tree_util.tree_leaves(gf),
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.mark.parametrize("l,n_heads,hd", [
+    (36, 2, 16),    # not a multiple of 8 -> pow2 padding fallback
+    (100, 1, 8),    # awkward length
+    (49, 1, 4),     # odd, tiny features
+    (784, 8, 512),  # production width: VMEM budget shrinks the blocks
+])
+def test_flash_packed_awkward_shapes(l, n_heads, hd):
+    """Values + dQ gradients vs the jnp reference across the block-picker's
+    edge cases: non-multiple-of-8 lengths (sequence-padding fallback) and
+    wide features (scoped-VMEM budget forces sub-divisor blocks)."""
+    from pytorch_generative_tpu.ops import attention_pallas as ap
+    from pytorch_generative_tpu.ops.attention import causal_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, l, hd))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, l, hd))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, l, hd))
+    d = hd // n_heads
+    toh = lambda t: t.reshape(2, l, n_heads, d).transpose(0, 2, 1, 3)
+
+    def ref(q):
+        out = causal_attention(toh(q), toh(k), toh(v), mask_center=True)
+        return out.transpose(0, 2, 1, 3).reshape(2, l, hd)
+
+    out = ap.causal_attention_packed(q, k, v, True, n_heads)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(q)), atol=2e-5)
+
+    g = jax.grad(lambda q: jnp.sum(
+        ap.causal_attention_packed(q, k, v, True, n_heads) ** 2))(q)
+    gw = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw), atol=5e-5)
