@@ -359,6 +359,13 @@ def main():
             _emit("pixel_snail_sample_throughput", bench_sampler(snail, 16),
                   "images/sec", sample_base)
 
+            xs_ = jnp.asarray((np.random.default_rng(2).random(
+                (128, 28, 28, 1)) < 0.13).astype(np.float32))
+            sps = bench_train_generic(snail(), pc_loss, xs_,
+                                      max(n_steps // 2, chunk), chunk)
+            _emit("pixel_snail_train_throughput", sps, "samples/sec",
+                  base.get("reference_pixel_snail_cpu_train_samples_per_sec"))
+
     # --- Headline LAST: f32 reproduce()-config training throughput. ---
     sps = bench_train(_make_imagegpt(0), batch_size, n_steps, chunk)
     _emit("imagegpt_train_throughput", sps, "samples/sec", train_base,

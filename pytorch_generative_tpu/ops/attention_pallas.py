@@ -227,8 +227,7 @@ def _pad_to(x, size, axis):
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
 
 
-def _pick_blocks(l, block_q, block_k, n_heads=1, d_k=0, d_v=0, itemsize=4,
-                 resident_bytes=0):
+def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0):
     """Picks the largest multiple-of-8 block <= the requested sizes that
     divides l exactly AND fits the scoped-VMEM budget.
 
@@ -278,8 +277,7 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
     # Full-length VMEM residents: the k/v refs (+ the lse output tile).
     resident = (l * (q.shape[-1] + v.shape[-1]) * q.dtype.itemsize
                 + n_heads * l * 128 * 4)
-    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, d_k, d_v,
-                                    q.dtype.itemsize, resident)
+    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -326,10 +324,11 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
     d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
     # Full-length VMEM residents: q, do, out, dq refs + the lse stats.
+    # dq rides in f32 (see out_shape below), hence the extra q-width term.
     resident = (l * (2 * q.shape[-1] + 2 * v.shape[-1] + v.shape[-1])
-                * q.dtype.itemsize + n_heads * l * 128 * 4)
-    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, d_k, d_v,
-                                    q.dtype.itemsize, resident)
+                * q.dtype.itemsize + l * q.shape[-1] * 4
+                + n_heads * l * 128 * 4)
+    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -379,14 +378,18 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), q.dtype),
+            # dq is f32: it is accumulated by read-modify-write across the
+            # k-block grid steps, and rounding the partial sum to bf16 at
+            # every revisit would compound error that dk/dv (f32 fori-loop
+            # carries) do not see.
+            jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), jnp.float32),
             jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), q.dtype),
             jax.ShapeDtypeStruct((b, l_pad, n_heads * d_v), q.dtype),
         ),
         interpret=interpret,
     )(qf, kf, vf, dof, outf, lse)
 
-    return dq[:, :l], dk[:, :l], dv[:, :l]
+    return dq[:, :l].astype(q.dtype), dk[:, :l], dv[:, :l]
 
 
 # ---------------------------------------------------------------------------

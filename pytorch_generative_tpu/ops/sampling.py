@@ -52,6 +52,34 @@ def _conv1x1(x, conv):
     return y
 
 
+def _run_segmented(step_for_window, carry, seq_len, rngs):
+    """Drives segmented KV-cache decoding.
+
+    Pixels in segment r only ever attend to positions < (r+1)*seg, so each
+    segment's scan reads a prefix-static slice of the cache — roughly halving
+    cache traffic vs attending over the full (mostly empty) cache at every
+    pixel. Identical math (masked softmax over a prefix), so draws match the
+    naive samplers exactly.
+
+    Args:
+        step_for_window: fn(window) -> scan step whose attention reads only
+            the first `window` cache positions.
+        carry: Initial scan carry.
+        seq_len: Total number of decode positions.
+        rngs: (seq_len, ...) per-position RNG keys.
+    Returns:
+        The final carry.
+    """
+    all_ids = jnp.arange(seq_len)
+    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
+    seg = seq_len // n_segments
+    for r in range(n_segments):
+        sl = slice(r * seg, (r + 1) * seg)
+        carry, _ = jax.lax.scan(step_for_window((r + 1) * seg), carry,
+                                (all_ids[sl], rngs[sl]))
+    return carry
+
+
 def pixel_cnn_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     """Incremental-decoding sampler for PixelCNN via per-layer activation
     caching (Ramachandran et al. 2017, "Fast Generation for Convolutional
@@ -410,27 +438,23 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
         return carry, None
 
     rngs = jax.random.split(rng, seq_len)
-    all_ids = jnp.arange(seq_len)
-    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
-    seg = seq_len // n_segments
     carry = (padded_canvas, elu_caches0, mid_caches0, k_cache0, v_cache0)
-    for r in range(n_segments):
-        sl = slice(r * seg, (r + 1) * seg)
-        carry, _ = jax.lax.scan(
-            functools.partial(step, window=(r + 1) * seg), carry,
-            (all_ids[sl], rngs[sl]))
+    carry = _run_segmented(
+        lambda window: functools.partial(step, window=window),
+        carry, seq_len, rngs)
     return carry[0][:, pad:-pad, pad:-pad, :]
 
 
-def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
-    """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
+def _image_gpt_decode(model, rng, n_samples, conditioned_on, mlp_fn):
+    """Shared KV-cache decode loop for the ImageGPT family.
+
+    ImageGPT and ImageGPTMoE differ only in the per-block MLP; everything else
+    (canvas/pos handling, fused qkv projection, cached attention, merge/
+    write-back, segmented windows) is identical and lives here once.
 
     Args:
-        model: An ImageGPT instance.
-        rng: jax.random key.
-        n_samples / conditioned_on: As in AutoregressiveModel.sample.
-    Returns:
-        (N, H, W, C) samples.
+        mlp_fn: fn(block, t) -> (n, C) applying the block's MLP to the
+            ln2-normalized per-position activations t.
     """
     conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
     n, h, w, c = conditioned_on.shape
@@ -500,12 +524,7 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
                 attn_out = _conv1x1(attn_out.reshape(n, n_heads * d_v),
                                     block.attn.out_proj)
                 x1 = x_in + attn_out
-                # --- MLP ---
-                mlp = _conv1x1(jax.nn.gelu(_conv1x1(block.ln2(x1),
-                                                    block.mlp_conv1),
-                                           approximate=False),
-                               block.mlp_conv2)
-                block_out = x1 + mlp
+                block_out = x1 + mlp_fn(block, block.ln2(x1))
                 # Model-level extra skip: x = x + block(x)
                 # (image_gpt.py:105-109).
                 x = x_in + block_out
@@ -524,131 +543,57 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     k_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_k))
     v_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_v))
     rngs = jax.random.split(rng, seq_len)
-    all_ids = jnp.arange(seq_len)
+    carry = _run_segmented(step_for_window, (padded_canvas, k_cache0, v_cache0),
+                           seq_len, rngs)
+    return carry[0][:, pad:-pad, pad:-pad, :]
 
-    # Segmented decoding: pixels in segment r only ever attend to positions
-    # < (r+1)*seg, so each segment's scan reads a prefix-static slice of the
-    # cache — roughly halving cache traffic vs attending over the full
-    # (mostly empty) cache at every pixel. Identical math (masked softmax
-    # over a prefix), so draws match the naive sampler exactly.
-    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
-    seg = seq_len // n_segments
-    carry = (padded_canvas, k_cache0, v_cache0)
-    for r in range(n_segments):
-        sl = slice(r * seg, (r + 1) * seg)
-        carry, _ = jax.lax.scan(step_for_window((r + 1) * seg), carry,
-                                (all_ids[sl], rngs[sl]))
-    padded_canvas = carry[0]
-    return padded_canvas[:, pad:-pad, pad:-pad, :]
+
+def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+    """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
+
+    Args:
+        model: An ImageGPT instance.
+        rng: jax.random key.
+        n_samples / conditioned_on: As in AutoregressiveModel.sample.
+    Returns:
+        (N, H, W, C) samples.
+    """
+    def dense_mlp(block, t):
+        return _conv1x1(jax.nn.gelu(_conv1x1(t, block.mlp_conv1),
+                                    approximate=False), block.mlp_conv2)
+
+    return _image_gpt_decode(model, rng, n_samples, conditioned_on, dense_mlp)
+
+
+def _moe_at(moe, tokens):
+    """Drop-free top-1 MoE on (n, C) tokens: run all experts, select."""
+    probs = jax.nn.softmax(moe.gate(tokens).astype(jnp.float32), axis=-1)
+    sel = jax.nn.one_hot(jnp.argmax(probs, axis=-1), moe.n_experts,
+                         dtype=tokens.dtype)
+    hdn = jax.nn.gelu(
+        jnp.einsum("nc,ech->neh", tokens, moe.w1) + moe.b1[None],
+        approximate=False)
+    outs = jnp.einsum("neh,ehd->ned", hdn, moe.w2) + moe.b2[None]
+    gate_val = jnp.max(probs, axis=-1).astype(tokens.dtype)
+    return jnp.einsum("ne,ned->nd", sel, outs) * gate_val[:, None]
 
 
 def image_gpt_moe_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     """Incremental-decoding sampler for ImageGPTMoE (KV caches + MoE MLPs).
 
-    Identical KV-cache structure to :func:`image_gpt_sample_fast`; the MLP at
-    each position routes through its top-1 expert. With one token per sample
-    per step, expert selection is computed drop-free: every expert's MLP runs
-    on the (tiny) token batch and a one-hot select keeps the argmax expert's
-    output scaled by its router probability — no gather/scatter, no capacity
-    accounting. This is the correct inference-time semantics; it matches the
-    naive full-forward sampler exactly whenever the full forward drops no
-    tokens (e.g. capacity_factor >= n_experts), which is also the only regime
-    where the full forward itself is strictly causal (a dropped token's
-    keep/drop bit depends on the routing of *later* raster positions through
-    the batch-flattened cumsum — an inherent property of capacity-based MoE,
+    Identical KV-cache decode to :func:`image_gpt_sample_fast` (shared via
+    :func:`_image_gpt_decode`); the MLP at each position routes through its
+    top-1 expert. With one token per sample per step, expert selection is
+    computed drop-free: every expert's MLP runs on the (tiny) token batch and
+    a one-hot select keeps the argmax expert's output scaled by its router
+    probability — no gather/scatter, no capacity accounting. This is the
+    correct inference-time semantics; it matches the naive full-forward
+    sampler exactly whenever the full forward drops no tokens (e.g.
+    capacity_factor >= n_experts), which is also the only regime where the
+    full forward itself is strictly causal (a dropped token's keep/drop bit
+    depends on the routing of *later* raster positions through the
+    batch-flattened cumsum — an inherent property of capacity-based MoE,
     documented here rather than replicated).
     """
-    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
-    n, h, w, c = conditioned_on.shape
-    seq_len = h * w
-    attn0 = model.blocks[0].attn
-    n_heads = attn0.n_heads
-    embed = attn0.embed_channels
-    out_ch = attn0.out_channels
-    d_k = embed // n_heads
-    d_v = out_ch // n_heads
-
-    pad = 1
-    padded_canvas = jnp.pad(conditioned_on, ((0, 0), (pad, pad), (pad, pad),
-                                             (0, 0)))
-    padded_pos = jnp.pad(jnp.broadcast_to(model.pos, (n, h, w, c)),
-                         ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    in_w = model.input_conv.weight
-    in_mask = model.input_conv.mask
-    in_b = model.input_conv.bias
-
-    qkv_ws = [jnp.concatenate([blk.attn.q_proj.weight[0, 0],
-                               blk.attn.kv_proj.weight[0, 0]], axis=-1)
-              for blk in model.blocks]
-    qkv_bs = [jnp.concatenate([blk.attn.q_proj.bias, blk.attn.kv_proj.bias])
-              for blk in model.blocks]
-
-    def moe_at(moe, tokens):
-        """Drop-free top-1 MoE on (n, C) tokens: run all experts, select."""
-        probs = jax.nn.softmax(moe.gate(tokens).astype(jnp.float32), axis=-1)
-        sel = jax.nn.one_hot(jnp.argmax(probs, axis=-1), moe.n_experts,
-                             dtype=tokens.dtype)
-        hdn = jax.nn.gelu(
-            jnp.einsum("nc,ech->neh", tokens, moe.w1) + moe.b1[None],
-            approximate=False)
-        outs = jnp.einsum("neh,ehd->ned", hdn, moe.w2) + moe.b2[None]
-        gate_val = jnp.max(probs, axis=-1).astype(tokens.dtype)
-        return jnp.einsum("ne,ned->nd", sel, outs) * gate_val[:, None]
-
-    def step_for_window(window):
-        def step(carry, inputs):
-            padded_canvas, k_cache, v_cache = carry
-            i, step_rng = inputs
-            row, col = i // w, i % w
-            pos_ids = jnp.arange(window)
-
-            x = _masked_conv_at(padded_canvas + padded_pos, in_w, in_mask,
-                                in_b, row, col, n)
-
-            for b, block in enumerate(model.blocks):
-                x_in = x
-                qkv = block.ln1(x_in) @ qkv_ws[b] + qkv_bs[b]
-                q = qkv[:, :embed].reshape(n, n_heads, d_k)
-                k_i = qkv[:, embed: 2 * embed].reshape(n, n_heads, d_k)
-                v_i = qkv[:, 2 * embed:].reshape(n, n_heads, d_v)
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k_i[None, :, :, None, :], (b, 0, 0, i, 0))
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v_i[None, :, :, None, :], (b, 0, 0, i, 0))
-
-                scores = jnp.einsum(
-                    "nhd,nhld->nhl", q, k_cache[b, :, :, :window]) / jnp.sqrt(
-                        jnp.asarray(d_k, x.dtype))
-                scores = jnp.where(pos_ids <= i, scores, -jnp.inf)
-                probs = jax.nn.softmax(scores, axis=-1)
-                attn_out = jnp.einsum("nhl,nhlv->nhv", probs,
-                                      v_cache[b, :, :, :window])
-                attn_out = _conv1x1(attn_out.reshape(n, n_heads * d_v),
-                                    block.attn.out_proj)
-                x1 = x_in + attn_out
-                block_out = x1 + moe_at(block.moe, block.ln2(x1))
-                x = x_in + block_out  # model-level extra skip
-
-            logits = _conv1x1(model.ln(x), model.out_conv)
-            sampled = model.sample_fn(step_rng, logits).reshape(n, 1, 1, c)
-            current = jax.lax.dynamic_slice(
-                padded_canvas, (0, row + pad, col + pad, 0), (n, 1, 1, c))
-            merged = jnp.where(current < 0, sampled, current)
-            padded_canvas = jax.lax.dynamic_update_slice(
-                padded_canvas, merged, (0, row + pad, col + pad, 0))
-            return (padded_canvas, k_cache, v_cache), None
-
-        return step
-
-    k_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_k))
-    v_cache0 = jnp.zeros((len(model.blocks), n, n_heads, seq_len, d_v))
-    rngs = jax.random.split(rng, seq_len)
-    all_ids = jnp.arange(seq_len)
-    n_segments = 7 if seq_len % 7 == 0 else (4 if seq_len % 4 == 0 else 1)
-    seg = seq_len // n_segments
-    carry = (padded_canvas, k_cache0, v_cache0)
-    for r in range(n_segments):
-        sl = slice(r * seg, (r + 1) * seg)
-        carry, _ = jax.lax.scan(step_for_window((r + 1) * seg), carry,
-                                (all_ids[sl], rngs[sl]))
-    return carry[0][:, pad:-pad, pad:-pad, :]
+    return _image_gpt_decode(model, rng, n_samples, conditioned_on,
+                             lambda block, t: _moe_at(block.moe, t))

@@ -54,7 +54,7 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
     n_ticks = n_micro + n_stages - 1
     has_extras = extras_micro is not None
     if not has_extras:
-        extras_micro = jnp.zeros((n_micro, 1), x_micro.dtype)  # placeholder
+        extras_micro = ()  # empty pytree: no dead operand through shard_map
 
     def shard_fn(blocks_local, x_all, extras_all):
         # blocks_local: this stage's block (leading axis 1); x_all: all
