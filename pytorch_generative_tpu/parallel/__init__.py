@@ -1,6 +1,12 @@
 from pytorch_generative_tpu.parallel.ep import (  # noqa: F401
     moe_forward_expert_parallel,
 )
+from pytorch_generative_tpu.parallel.fsdp import (  # noqa: F401
+    fsdp_jit_train_step,
+    fsdp_shardings,
+    fsdp_spec,
+    shard_tree_fsdp,
+)
 from pytorch_generative_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     make_mesh,

@@ -492,3 +492,106 @@ def test_dp_eval_counts_every_example(tmp_path):
     loss1 = run(1, str(tmp_path / "d1"))
     loss8 = run(8, str(tmp_path / "d8"))
     np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+
+
+def test_fsdp_matches_single_device():
+    """A ZeRO-3 (param/grad/opt-state sharded) ImageGPT train step must match
+    the unsharded single-device step, with the state actually sharded."""
+    import optax
+
+    gpt = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                          in_size=8, n_transformer_blocks=2,
+                          n_attention_heads=2, n_embedding_channels=8,
+                          in_shape=(8, 8, 1))
+    params, rest = core.partition(gpt)
+    tx = optax.sgd(0.1)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)), jnp.float32)
+
+    def loss_fn(p, xb):
+        m = core.combine(p, rest)
+        preds = m.forward(xb)
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def step(p, opt_state, xb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p1, _, loss1 = jax.jit(step)(params, tx.init(params), x)
+
+    mesh = parallel.make_mesh(8)
+    # min_size=0: this toy model's weights are all tiny, force sharding.
+    p_sh = parallel.shard_tree_fsdp(params, mesh, min_size=0)
+    o_sh = parallel.shard_tree_fsdp(tx.init(params), mesh, min_size=0)
+    fsdp_step = parallel.fsdp_jit_train_step(step, params, tx.init(params),
+                                             mesh, min_size=0, donate=False)
+    p2, _, loss2 = fsdp_step(p_sh, o_sh, x)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # State really is sharded: some leaf must carry the 'data' axis.
+    def sharded_leaves(tree):
+        return [l for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "sharding") and l.sharding.spec
+                and any(e == "data" for e in l.sharding.spec)]
+    assert sharded_leaves(p2), "no parameter leaf is FSDP-sharded"
+    # Adam moments (param-shaped) must pick up the same FSDP layout.
+    adam_state = parallel.shard_tree_fsdp(optax.adam(1e-3).init(params), mesh,
+                                          min_size=0)
+    assert sharded_leaves(adam_state), "no optimizer-state leaf is FSDP-sharded"
+
+
+def test_fsdp_plus_tp_matches_single_device():
+    """FSDP composed with Megatron TP on a 2-D ('data','model') mesh: rules
+    keep the model-axis placement, FSDP shards a remaining dimension."""
+    import optax
+
+    gpt = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                          in_size=8, n_transformer_blocks=2,
+                          n_attention_heads=2, n_embedding_channels=8,
+                          in_shape=(8, 8, 1))
+    params, rest = core.partition(gpt)
+    tx = optax.sgd(0.1)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)), jnp.float32)
+
+    def loss_fn(p, xb):
+        m = core.combine(p, rest)
+        preds = m.forward(xb)
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def step(p, opt_state, xb):
+        loss, grads = jax.value_and_grad(loss_fn)(p, xb)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p1, _, loss1 = jax.jit(step)(params, tx.init(params), x)
+
+    mesh = parallel.make_2d_mesh(4, 2)
+    rules = parallel.IMAGE_GPT_TP_RULES
+    p_sh = parallel.shard_tree_fsdp(params, mesh, min_size=0, tp_rules=rules)
+    o_sh = parallel.shard_tree_fsdp(tx.init(params), mesh, min_size=0,
+                                    tp_rules=rules)
+    fsdp_step = parallel.fsdp_jit_train_step(
+        step, params, tx.init(params), mesh, min_size=0, tp_rules=rules,
+        donate=False)
+    p2, _, loss2 = fsdp_step(p_sh, o_sh, x)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # An MLP weight must be sharded on BOTH axes.
+    flat = jax.tree_util.tree_leaves_with_path(p2)
+    both = [l for path, l in flat
+            if "mlp_conv1.weight" in jax.tree_util.keystr(path)
+            and {"data", "model"} <= {e for e in l.sharding.spec
+                                      if isinstance(e, str)}]
+    assert both, "mlp_conv1.weight is not 2-D (data x model) sharded"
