@@ -76,6 +76,8 @@ class Trainer:
         n_devices=1,
         mesh_shape=None,
         tp_rules=None,
+        fsdp=False,
+        fsdp_min_size=None,
         seed=0,
         use_tensorboard=True,
         profile_steps=None,
@@ -108,6 +110,15 @@ class Trainer:
                 (parallel/tp.py; default: Megatron MLP rules), the batch over
                 'data', and XLA inserts all collectives.
             tp_rules: (path regex, PartitionSpec) rules for mesh_shape mode.
+            fsdp: Shard parameters, gradients, and optimizer state over the
+                'data' axis (ZeRO-3, parallel/fsdp.py) instead of replicating
+                them — per-device state memory shrinks ~linearly with the
+                mesh. With ``n_devices`` > 1 this uses a 1-D GSPMD mesh; with
+                ``mesh_shape`` it composes with tensor parallelism (2-D
+                'data' x 'model' sharded weights).
+            fsdp_min_size: Minimum element count for a leaf to be FSDP-sharded
+                (smaller leaves stay replicated; default
+                parallel.fsdp.DEFAULT_MIN_SIZE).
             seed: Root RNG seed for model forward randomness & sampling.
             use_tensorboard: Also log to TensorBoard when available.
             profile_steps: Optional (start, stop) global-step pair; a
@@ -137,11 +148,21 @@ class Trainer:
 
         self._mesh = None
         self._mesh2d = None
+        self._fsdp = bool(fsdp)
+        from pytorch_generative_tpu.parallel.fsdp import DEFAULT_MIN_SIZE
+        self._fsdp_min_size = (DEFAULT_MIN_SIZE if fsdp_min_size is None
+                               else fsdp_min_size)
+        self._tp_rules = ()
         if mesh_shape is not None:
             n_data, n_model = mesh_shape
             self._mesh2d = parallel.make_2d_mesh(n_data, n_model)
             self._tp_rules = tp_rules or parallel.IMAGE_GPT_TP_RULES
             self.n_devices = n_data  # batch divisibility requirement
+        elif self._fsdp and self.n_devices > 1:
+            # FSDP without TP: a 1-D 'data' GSPMD mesh (no shard_map — jit
+            # with sharded state has global semantics, so VQ-EMA statistics
+            # are globally correct without explicit psum).
+            self._mesh2d = parallel.make_mesh(self.n_devices)
         elif self.n_devices > 1:
             self._mesh = parallel.make_mesh(self.n_devices)
             model = parallel.set_vq_axis_name(model, parallel.DATA_AXIS)
@@ -156,11 +177,11 @@ class Trainer:
             is_leaf=lambda v: v is None)
         self._params, self._rest = copy(self._params), copy(self._rest)
         if self._mesh2d is not None:
-            self._params = parallel.shard_tree(self._params, self._mesh2d,
-                                               self._tp_rules)
-            self._rest = parallel.shard_tree(self._rest, self._mesh2d,
-                                             self._tp_rules)
+            self._params = self._shard_state(self._params)
+            self._rest = self._shard_state(self._rest)
         self._opt_state = self._tx.init(self._params)
+        if self._mesh2d is not None and self._fsdp:
+            self._opt_state = self._shard_state(self._opt_state)
         if self._mesh is not None:
             self._params = parallel.replicate(self._params, self._mesh)
             self._rest = parallel.replicate(self._rest, self._mesh)
@@ -187,6 +208,16 @@ class Trainer:
     # ------------------------------------------------------------------
     # Step builders
     # ------------------------------------------------------------------
+    def _shard_state(self, tree):
+        """Places a state pytree on the GSPMD mesh: FSDP shardings when
+        ``fsdp`` is enabled (optionally composed with the TP rules),
+        TP-rule/replicated placement otherwise."""
+        if self._fsdp:
+            return parallel.shard_tree_fsdp(tree, self._mesh2d,
+                                            min_size=self._fsdp_min_size,
+                                            tp_rules=self._tp_rules)
+        return parallel.shard_tree(tree, self._mesh2d, self._tp_rules)
+
     def _cast_for_compute(self, tree):
         if self.compute_dtype is None:
             return tree
@@ -370,10 +401,10 @@ class Trainer:
             self._rest = parallel.replicate(self._rest, self._mesh)
             self._opt_state = parallel.replicate(self._opt_state, self._mesh)
         elif self._mesh2d is not None:
-            self._params = parallel.shard_tree(self._params, self._mesh2d,
-                                               self._tp_rules)
-            self._rest = parallel.shard_tree(self._rest, self._mesh2d,
-                                             self._tp_rules)
+            self._params = self._shard_state(self._params)
+            self._rest = self._shard_state(self._rest)
+            if self._fsdp:
+                self._opt_state = self._shard_state(self._opt_state)
         self._step = metadata["step"]
         self._applied_steps = metadata.get("applied_steps", metadata["step"])
         self._epoch = metadata["epoch"]

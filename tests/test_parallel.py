@@ -595,3 +595,52 @@ def test_fsdp_plus_tp_matches_single_device():
             and {"data", "model"} <= {e for e in l.sharding.spec
                                       if isinstance(e, str)}]
     assert both, "mlp_conv1.weight is not 2-D (data x model) sharded"
+
+
+def test_trainer_fsdp_matches_single_device(tmp_path):
+    """Trainer(fsdp=True) must produce the same step as the single-device
+    Trainer, with parameters actually sharded over 'data'."""
+    x = np.random.default_rng(0).random((8, 8, 8, 1)).astype(np.float32)
+
+    def make(n_devices, fsdp):
+        model = models.ImageGPT(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=8,
+            n_transformer_blocks=2, n_attention_heads=2,
+            n_embedding_channels=8, in_shape=(8, 8, 1))
+        loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+
+        def loss_fn(xb, _, preds):
+            n = xb.shape[0]
+            return optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+        import optax as _optax
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=_optax.sgd(0.1),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / f"fsdp{n_devices}_{fsdp}"),
+            n_devices=n_devices, fsdp=fsdp, fsdp_min_size=0,
+            use_tensorboard=False)
+
+    import optax
+
+    t1 = make(1, False)
+    m1, _ = t1.train_one_step(x, None)
+    t8 = make(8, True)
+    m8, _ = t8.train_one_step(x, None)
+
+    np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                               float(np.asarray(m8["loss"])), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1._params)),
+                    jax.tree_util.tree_leaves(jax.device_get(t8._params))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    sharded = [l for l in jax.tree_util.tree_leaves(t8._params)
+               if hasattr(l, "sharding") and l.sharding.spec
+               and any(e == "data" for e in l.sharding.spec)]
+    assert sharded, "Trainer(fsdp=True) left every parameter replicated"
+
+    # Eval path works under FSDP too.
+    xs, _ = t8._prepare_batch(x, None)
+    em = t8._eval_step(t8._params, t8._rest, xs, None, jax.random.PRNGKey(1))
+    assert np.isfinite(float(np.asarray(em["loss"])))

@@ -55,11 +55,20 @@ def run_and_trace():
         return optax.sigmoid_binary_cross_entropy(
             preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
 
-    @jax.jit
-    def step(params, opt_state, x):
+    # Scan-chunked like bench.py: one device dispatch per chunk AND the same
+    # compiled-step shape bench measures (the plain un-scanned step can hit a
+    # different XLA buffer-placement choice at wide configs).
+    def one(carry, x):
+        params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(params, x)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def step(params, opt_state, x):
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), x[None])
+        return params, opt_state, losses[-1]
 
     x = jnp.asarray((np.random.default_rng(0).random(
         (bs, 28, 28, 1)) < 0.13).astype(np.float32))
