@@ -69,6 +69,7 @@ class Trainer:
         lr_schedule=None,
         clip_grad_norm=None,
         skip_grad_norm=None,
+        grad_accumulation=1,
         log_dir=None,
         sample_epochs=3,
         save_checkpoint_epochs=1,
@@ -96,6 +97,11 @@ class Trainer:
                 `optimizer` is a tuple).
             clip_grad_norm: L2 norm to scale gradients to if exceeded.
             skip_grad_norm: Max L2 norm above which the whole step is skipped.
+            grad_accumulation: Split each batch into this many scanned
+                microbatches and average their gradients before the single
+                optimizer update — numerically identical to the full-batch
+                step (mean of equal-chunk means) while only one microbatch's
+                activations are live, so the effective batch can exceed HBM.
             log_dir: Checkpoints + metrics directory (temp dir if None).
             sample_epochs: Epochs between 16-image sample grids.
             save_checkpoint_epochs: Epochs between checkpoints.
@@ -139,6 +145,7 @@ class Trainer:
         self.lr_schedule = lr_schedule
         self.clip_grad_norm = clip_grad_norm
         self.skip_grad_norm = skip_grad_norm
+        self.grad_accumulation = max(int(grad_accumulation or 1), 1)
         self.log_dir = log_dir or tempfile.mkdtemp()
         self.sample_epochs = sample_epochs
         self.save_checkpoint_epochs = save_checkpoint_epochs
@@ -266,20 +273,55 @@ class Trainer:
         tx = self._tx
         clip = self.clip_grad_norm
         skip = self.skip_grad_norm
+        accum = self.grad_accumulation
         axis = parallel.DATA_AXIS if self._mesh is not None else None
+
+        def grad_and_metrics(params, rest, x, y, rng):
+            """(mean grads, mean metrics, final model state) for the batch,
+            computed whole or as ``accum`` scanned microbatches (identical
+            math — mean of equal-chunk means — with only one microbatch's
+            activations live at a time)."""
+
+            def single(rest_c, xb, yb, r):
+                def compute_loss(p):
+                    model = core.combine(p, rest_c)
+                    metrics, new_model = self.compute_metrics(
+                        model, xb, yb, r, training=True)
+                    return metrics["loss"], (metrics, new_model)
+
+                grads, (metrics, new_model) = jax.grad(
+                    compute_loss, has_aux=True)(params)
+                _, new_rest = core.partition(new_model)
+                return grads, metrics, new_rest
+
+            if accum <= 1:
+                return single(rest, x, y, rng)
+
+            mb = x.shape[0] // accum
+            xs = x[: mb * accum].reshape(accum, mb, *x.shape[1:])
+            ys = (None if y is None
+                  else y[: mb * accum].reshape(accum, mb, *y.shape[1:]))
+            rngs = jax.random.split(rng, accum)
+
+            def body(rest_c, inp):
+                grads, metrics, new_rest = single(
+                    rest_c, inp["x"], inp.get("y"), inp["rng"])
+                return new_rest, (grads, metrics)
+
+            inp = {"x": xs, "rng": rngs}
+            if ys is not None:
+                inp["y"] = ys
+            rest_out, (grads, metrics) = jax.lax.scan(body, rest, inp)
+            grads = jax.tree_util.tree_map(lambda g: g.mean(0), grads)
+            metrics = {k: v.mean(0) for k, v in metrics.items()}
+            return grads, metrics, rest_out
 
         def step(params, rest, opt_state, x, y, rng):
             if axis is not None:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
-            def compute_loss(p):
-                model = core.combine(p, rest)
-                metrics, new_model = self.compute_metrics(
-                    model, x, y, rng, training=True)
-                return metrics["loss"], (metrics, new_model)
-
-            grads, (metrics, new_model) = jax.grad(
-                compute_loss, has_aux=True)(params)
+            grads, metrics, new_rest = grad_and_metrics(
+                params, rest, x, y, rng)
             if axis is not None:
                 grads = parallel.pmean_tree(grads, axis)
                 metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
@@ -290,7 +332,6 @@ class Trainer:
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            _, new_rest = core.partition(new_model)
             if skip is not None:
                 keep = norm <= skip
                 new_params = _tree_select(keep, new_params, params)

@@ -96,3 +96,45 @@ def test_mixed_precision_keeps_vq_ema_stats_f32(tmp_path):
         assert buf.dtype == jnp.float32
     # And the stats actually updated (the EMA ran).
     assert not np.allclose(vq.ema_cluster_size, init_vq.ema_cluster_size)
+
+
+def test_grad_accumulation_matches_full_batch(tmp_path):
+    """grad_accumulation=4 must reproduce the full-batch step exactly (mean of
+    equal-chunk means), including under clip_grad_norm."""
+    import jax
+    import numpy as np
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    x = np.random.default_rng(0).random((16, 4, 4, 1)).astype(np.float32)
+
+    def loss_fn(xb, _, preds):
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def make(accum):
+        model = models.ImageGPT(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=4,
+            n_transformer_blocks=2, n_attention_heads=2,
+            n_embedding_channels=8, in_shape=(4, 4, 1))
+        loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=16)
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader, clip_grad_norm=1.0,
+            grad_accumulation=accum, log_dir=str(tmp_path / f"ga{accum}"),
+            use_tensorboard=False)
+
+    t1 = make(1)
+    m1, _ = t1.train_one_step(x, None)
+    t4 = make(4)
+    m4, _ = t4.train_one_step(x, None)
+
+    np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                               float(np.asarray(m4["loss"])), rtol=1e-6)
+    np.testing.assert_allclose(float(np.asarray(m1["grad_norm"])),
+                               float(np.asarray(m4["grad_norm"])), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1._params)),
+                    jax.tree_util.tree_leaves(jax.device_get(t4._params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
