@@ -224,10 +224,22 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, widths)
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16MB scoped limit
+# Block-picking budgets and the per-kernel Mosaic scoped-VMEM ceiling. v5e
+# has 128MB of physical VMEM per core, but Mosaic's default scoped limit is
+# 16MB and raising it is not free: measured on the reproduce() config (C=64),
+# compiling with an elevated vmem_limit_bytes costs ~4% step throughput even
+# when the chosen blocks are identical (Mosaic buffers more aggressively).
+# So the limit is raised ONLY when the default budget would force smaller
+# blocks — e.g. C=512/8-heads, where full-length operand residents alone
+# approach 16MB once dq accumulates in f32; there the raised ceiling restores
+# 392-wide blocks (382 -> 556 samples/s, 42% MFU).
+_VMEM_BUDGET = 12 * 1024 * 1024
+_VMEM_RAISED_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
 
-def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0):
+def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0,
+                 budget=_VMEM_BUDGET):
     """Picks the largest multiple-of-8 block <= the requested sizes that
     divides l exactly AND fits the scoped-VMEM budget.
 
@@ -245,7 +257,7 @@ def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0):
     dies in compile with "Ran out of memory in memory space vmem".
     """
     cap = min(max(block_q, block_k), l)
-    avail = max(_VMEM_BUDGET - resident_bytes, 1 << 20)
+    avail = max(budget - resident_bytes, 1 << 20)
     per_block2 = max(16 * n_heads, 1)  # ~4 f32 tiles per unrolled head
     vmem_cap = int((avail / per_block2) ** 0.5)
     cap = min(cap, max(vmem_cap, 64))
@@ -255,6 +267,19 @@ def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0):
     cap2 = max(128, 1 << (max(l - 1, 1)).bit_length())
     return (min(block_q, cap2, cap - cap % 8 or 8),
             min(block_k, cap2, cap - cap % 8 or 8))
+
+
+def _pick_blocks_and_limit(l, block_q, block_k, n_heads, resident_bytes):
+    """Block sizes plus the Mosaic vmem_limit_bytes to compile with (None =
+    the default 16MB scope). The limit is raised only when doing so buys
+    bigger blocks — see the budget constants above for the measured
+    trade-off."""
+    small = _pick_blocks(l, block_q, block_k, n_heads, resident_bytes)
+    big = _pick_blocks(l, block_q, block_k, n_heads, resident_bytes,
+                       _VMEM_RAISED_BUDGET)
+    if big == small:
+        return small[0], small[1], None
+    return big[0], big[1], _VMEM_LIMIT_BYTES
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
@@ -277,7 +302,8 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
     # Full-length VMEM residents: the k/v refs (+ the lse output tile).
     resident = (l * (q.shape[-1] + v.shape[-1]) * q.dtype.itemsize
                 + n_heads * l * 128 * 4)
-    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, resident)
+    block_q, block_k, vmem_limit = _pick_blocks_and_limit(
+        l, block_q, block_k, n_heads, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -308,6 +334,8 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
             jax.ShapeDtypeStruct((b, l_pad, n_heads * d_v), q.dtype),
             jax.ShapeDtypeStruct((b, n_heads, l_pad, 128), jnp.float32),
         ),
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+                         if vmem_limit else None),
         interpret=interpret,
     )(qf, kf, vf)
     return out[:, :l, :], lse
@@ -328,7 +356,8 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
     resident = (l * (2 * q.shape[-1] + 2 * v.shape[-1] + v.shape[-1])
                 * q.dtype.itemsize + l * q.shape[-1] * 4
                 + n_heads * l * 128 * 4)
-    block_q, block_k = _pick_blocks(l, block_q, block_k, n_heads, resident)
+    block_q, block_k, vmem_limit = _pick_blocks_and_limit(
+        l, block_q, block_k, n_heads, resident)
     l_pad = _blocks(l, block_q, block_k)
 
     qf = _pad_to(q, l_pad, 1)
@@ -386,6 +415,8 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
             jax.ShapeDtypeStruct((b, l_pad, n_heads * d_k), q.dtype),
             jax.ShapeDtypeStruct((b, l_pad, n_heads * d_v), q.dtype),
         ),
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+                         if vmem_limit else None),
         interpret=interpret,
     )(qf, kf, vf, dof, outf, lse)
 
