@@ -366,6 +366,55 @@ def main():
             _emit("pixel_snail_train_throughput", sps, "samples/sec",
                   base.get("reference_pixel_snail_cpu_train_samples_per_sec"))
 
+        # --- VD-VAE: the hierarchical-VAE family heavyweight, reproduce()
+        # config (6 stacks, hidden 64, latent 16 on padded-32 MNIST).
+        from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+        vd = models.VeryDeepVAE(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+            input_resolution=32,
+            stack_configs=(
+                StackConfig(n_encoder_blocks=3, n_decoder_blocks=5),
+                StackConfig(n_encoder_blocks=3, n_decoder_blocks=5),
+                StackConfig(n_encoder_blocks=2, n_decoder_blocks=4),
+                StackConfig(n_encoder_blocks=2, n_decoder_blocks=3),
+                StackConfig(n_encoder_blocks=2, n_decoder_blocks=2),
+                StackConfig(n_encoder_blocks=1, n_decoder_blocks=1)),
+            latent_channels=16, hidden_channels=64, bottleneck_channels=32,
+            in_shape=(32, 32, 1))
+
+        def vd_loss(x, _, preds):
+            preds, kl_div = preds
+            recon = _optax.sigmoid_binary_cross_entropy(preds, x).sum(
+                axis=(1, 2, 3))
+            return (recon + kl_div).mean()
+
+        xd = jnp.asarray((np.random.default_rng(3).random(
+            (128, 32, 32, 1)) < 0.13).astype(np.float32))
+        sps = bench_train_generic(vd, vd_loss, xd, max(n_steps // 2, chunk),
+                                  chunk, lr=5e-4)
+        _emit("vd_vae_train_throughput", sps, "samples/sec",
+              base.get("reference_vd_vae_cpu_train_samples_per_sec"))
+
+        # --- ImageGPT-MoE: sparse-MLP flagship variant (8 experts, top-1
+        # Switch routing as one-hot einsums). No reference counterpart.
+        moe = models.ImageGPTMoE(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=8, n_attention_heads=2,
+            n_embedding_channels=64, n_experts=8, in_shape=(28, 28, 1))
+
+        def moe_loss(x, _, preds):
+            logits, aux = preds
+            n = x.shape[0]
+            bce = _optax.sigmoid_binary_cross_entropy(
+                logits.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+            return bce + 0.01 * aux
+
+        xm = jnp.asarray((np.random.default_rng(4).random(
+            (64, 28, 28, 1)) < 0.13).astype(np.float32))
+        sps = bench_train_generic(moe, moe_loss, xm, max(n_steps // 2, chunk),
+                                  chunk, lr=5e-3)
+        _emit("imagegpt_moe_train_throughput", sps, "samples/sec", None)
+
     # --- Headline LAST: f32 reproduce()-config training throughput. ---
     sps = bench_train(_make_imagegpt(0), batch_size, n_steps, chunk)
     _emit("imagegpt_train_throughput", sps, "samples/sec", train_base,

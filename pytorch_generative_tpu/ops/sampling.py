@@ -591,9 +591,9 @@ def image_gpt_moe_sample_fast(model, rng, n_samples=None, conditioned_on=None):
     sampler exactly whenever the full forward drops no tokens (e.g.
     capacity_factor >= n_experts), which is also the only regime where the
     full forward itself is strictly causal (a dropped token's keep/drop bit
-    depends on the routing of *later* raster positions through the
-    batch-flattened cumsum — an inherent property of capacity-based MoE,
-    documented here rather than replicated).
+    depends on the routing of *later* raster positions in its sample through
+    the per-group arrival-order cumsum — an inherent property of
+    capacity-based MoE, documented here rather than replicated).
     """
     return _image_gpt_decode(model, rng, n_samples, conditioned_on,
                              lambda block, t: _moe_at(block.moe, t))

@@ -60,23 +60,28 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
     # no full-size expert weight is ever materialized per device.
     expert_leaves = {"w1": moe.w1, "b1": moe.b1, "w2": moe.w2, "b2": moe.b2}
     router = moe.gate
-    local_tokens = (x.size // x.shape[-1]) // n_devices
-    capacity = capacity_for(local_tokens, n_experts, moe.capacity_factor)
+    # Per-group (per local sample) routing, matching the dense path: capacity
+    # scales with the group's token count, not the whole local batch.
+    group_tokens = x.size // x.shape[-1] // x.shape[0] if x.ndim > 2 else (
+        x.size // x.shape[-1] // n_devices)
+    capacity = capacity_for(group_tokens, n_experts, moe.capacity_factor)
 
     def shard_fn(router_p, expert_w, x_local):
         m = moe.replace(gate=router_p, **expert_w)
-        tokens = x_local.reshape(-1, x_local.shape[-1])
-        dispatch, combine, aux = m.route(tokens, capacity)
-        expert_in = jnp.einsum("tec,td->ecd", dispatch, tokens)
-        # (E, cap, C) -> (E/D, D*cap, C): deliver each expert's slots to its
-        # owning device; receive every device's slots for our experts.
+        tokens = (x_local.reshape(x_local.shape[0], -1, x_local.shape[-1])
+                  if x_local.ndim > 2 else x_local[None])  # (G, Tg, C)
+        dispatch, combine, aux = jax.vmap(
+            lambda t: m.route(t, capacity))(tokens)
+        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, tokens)
+        # (G, E, cap, C) -> (G, E/D, D*cap, C): deliver each expert's slots to
+        # its owning device; receive every device's slots for our experts.
         expert_in = jax.lax.all_to_all(
-            expert_in, axis_name, split_axis=0, concat_axis=1, tiled=True)
-        out = m.apply_experts(expert_in)
+            expert_in, axis_name, split_axis=1, concat_axis=2, tiled=True)
+        out = jax.vmap(m.apply_experts)(expert_in)
         out = jax.lax.all_to_all(
-            out, axis_name, split_axis=1, concat_axis=0, tiled=True)
-        y = jnp.einsum("tec,ecd->td", combine, out)
-        return y.reshape(x_local.shape), jax.lax.pmean(aux, axis_name)
+            out, axis_name, split_axis=2, concat_axis=1, tiled=True)
+        y = jnp.einsum("gtec,gecd->gtd", combine, out)
+        return y.reshape(x_local.shape), jax.lax.pmean(aux.mean(), axis_name)
 
     expert_spec = {k: P(axis_name) for k in expert_leaves}
     router_spec = jax.tree_util.tree_map(lambda _: P(), router)
