@@ -69,6 +69,7 @@ class Trainer:
         lr_schedule=None,
         clip_grad_norm=None,
         skip_grad_norm=None,
+        skip_nonfinite=False,
         grad_accumulation=1,
         log_dir=None,
         sample_epochs=3,
@@ -97,6 +98,11 @@ class Trainer:
                 `optimizer` is a tuple).
             clip_grad_norm: L2 norm to scale gradients to if exceeded.
             skip_grad_norm: Max L2 norm above which the whole step is skipped.
+            skip_nonfinite: Skip any optimizer step whose loss or gradient
+                norm is NaN/inf instead of corrupting the parameters (a
+                ``nonfinite_steps`` metric counts occurrences). Off by
+                default: the reference steps through non-finite gradients,
+                and parity tests depend on identical trajectories.
             grad_accumulation: Split each batch into this many scanned
                 microbatches and average their gradients before the single
                 optimizer update — numerically identical to the full-batch
@@ -145,6 +151,7 @@ class Trainer:
         self.lr_schedule = lr_schedule
         self.clip_grad_norm = clip_grad_norm
         self.skip_grad_norm = skip_grad_norm
+        self.skip_nonfinite = bool(skip_nonfinite)
         self.grad_accumulation = max(int(grad_accumulation or 1), 1)
         self.log_dir = log_dir or tempfile.mkdtemp()
         self.sample_epochs = sample_epochs
@@ -273,6 +280,7 @@ class Trainer:
         tx = self._tx
         clip = self.clip_grad_norm
         skip = self.skip_grad_norm
+        guard = self.skip_nonfinite
         accum = self.grad_accumulation
         axis = parallel.DATA_AXIS if self._mesh is not None else None
 
@@ -332,8 +340,14 @@ class Trainer:
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            keep = None
             if skip is not None:
                 keep = norm <= skip
+            if guard:
+                finite = jnp.isfinite(norm) & jnp.isfinite(metrics["loss"])
+                metrics["nonfinite_steps"] = 1.0 - finite.astype(jnp.float32)
+                keep = finite if keep is None else (keep & finite)
+            if keep is not None:
                 new_params = _tree_select(keep, new_params, params)
                 new_opt_state = _tree_select(keep, new_opt_state, opt_state)
             return new_params, new_rest, new_opt_state, metrics

@@ -138,3 +138,48 @@ def test_grad_accumulation_matches_full_batch(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1._params)),
                     jax.tree_util.tree_leaves(jax.device_get(t4._params))):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_skip_nonfinite_guards_parameters(tmp_path):
+    """A NaN loss must leave parameters and optimizer state untouched when
+    skip_nonfinite=True, and be counted in the nonfinite_steps metric."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                        in_shape=(4, 4, 1))
+    loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8)
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        base = optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+        # NaN iff the batch is flagged (first pixel < 0 never happens in real
+        # data; we inject it below).
+        return jnp.where(x[0, 0, 0, 0] < 0, jnp.nan, base)
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+                        train_loader=loader, eval_loader=loader,
+                        skip_nonfinite=True, log_dir=str(tmp_path / "guard"),
+                        use_tensorboard=False)
+
+    x_ok = np.random.default_rng(0).random((8, 4, 4, 1)).astype(np.float32)
+    m, _ = t.train_one_step(x_ok, None)
+    assert float(np.asarray(m["nonfinite_steps"])) == 0.0
+    params_before = jax.device_get(t._params)
+
+    x_bad = x_ok.copy()
+    x_bad[0, 0, 0, 0] = -1.0
+    m, _ = t.train_one_step(x_bad, None)
+    assert float(np.asarray(m["nonfinite_steps"])) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(jax.device_get(t._params))):
+        np.testing.assert_array_equal(a, b)
+
+    # Recovery: the next finite step trains normally.
+    m, _ = t.train_one_step(x_ok, None)
+    assert float(np.asarray(m["nonfinite_steps"])) == 0.0
