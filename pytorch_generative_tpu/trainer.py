@@ -75,6 +75,7 @@ class Trainer:
         sample_epochs=3,
         save_checkpoint_epochs=1,
         keep_checkpoints=None,
+        async_checkpoint=False,
         n_devices=1,
         mesh_shape=None,
         tp_rules=None,
@@ -114,6 +115,12 @@ class Trainer:
             keep_checkpoints: If set, only the newest n checkpoint files are
                 kept on disk (older ones are pruned after each save) — the
                 reference's own TODO at trainer.py:111.
+            async_checkpoint: Write checkpoints from a background thread. The
+                device->host state snapshot still happens synchronously (it
+                must, to capture a consistent step), but the npz
+                compression/disk write — the slow part for big models —
+                overlaps the next epoch's training. Writes are serialized:
+                a new save (or a restore) joins the previous writer first.
             n_devices: Data-parallel device count; > 1 shards the batch over a
                 ``Mesh`` and psums gradients over ICI (shard_map path).
             mesh_shape: Optional (n_data, n_model) for combined data x tensor
@@ -157,6 +164,8 @@ class Trainer:
         self.sample_epochs = sample_epochs
         self.save_checkpoint_epochs = save_checkpoint_epochs
         self.keep_checkpoints = keep_checkpoints
+        self.async_checkpoint = bool(async_checkpoint)
+        self._ckpt_thread = None
         self.compute_dtype = compute_dtype
         self.n_devices = max(int(n_devices or 1), 1)
 
@@ -422,10 +431,28 @@ class Trainer:
             "examples_processed": self._examples_processed,
             "time_taken": self._time_taken,
         }
-        ckpt_utils.save_checkpoint(
-            self._path(f"trainer_state_{self._epoch}.ckpt"),
-            jax.device_get(self._checkpoint_tree()), metadata)
-        self._prune_checkpoints()
+        path = self._path(f"trainer_state_{self._epoch}.ckpt")
+        host_tree = jax.device_get(self._checkpoint_tree())
+        if self.async_checkpoint:
+            import threading
+
+            self.join_pending_checkpoint()
+
+            def write():
+                ckpt_utils.save_checkpoint(path, host_tree, metadata)
+                self._prune_checkpoints()
+
+            self._ckpt_thread = threading.Thread(target=write, daemon=True)
+            self._ckpt_thread.start()
+        else:
+            ckpt_utils.save_checkpoint(path, host_tree, metadata)
+            self._prune_checkpoints()
+
+    def join_pending_checkpoint(self):
+        """Blocks until any in-flight async checkpoint write has finished."""
+        if self._ckpt_thread is not None:
+            self._ckpt_thread.join()
+            self._ckpt_thread = None
 
     def _prune_checkpoints(self):
         """Keeps only the newest ``keep_checkpoints`` checkpoint files
@@ -444,6 +471,7 @@ class Trainer:
 
     def restore_checkpoint(self, epoch=None):
         """Restores Trainer state from self.log_dir (latest epoch by default)."""
+        self.join_pending_checkpoint()
         epoch = epoch or ckpt_utils.find_latest_epoch(self.log_dir)
         name = f"trainer_state_{epoch}.ckpt"
         print(f"Restoring trainer state from checkpoint {name}.")

@@ -183,3 +183,39 @@ def test_skip_nonfinite_guards_parameters(tmp_path):
     # Recovery: the next finite step trains normally.
     m, _ = t.train_one_step(x_ok, None)
     assert float(np.asarray(m["nonfinite_steps"])) == 0.0
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_checkpoint=True must produce the same restorable checkpoint as
+    the synchronous path."""
+    import jax
+    import numpy as np
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    def make(log_dir):
+        model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                            in_shape=(4, 4, 1))
+        loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8, n_batches=2)
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader, log_dir=str(log_dir),
+            async_checkpoint=True, sample_epochs=100, use_tensorboard=False)
+
+    t = make(tmp_path / "async")
+    t.interleaved_train_and_eval(2)
+    t.join_pending_checkpoint()
+    params_trained = jax.device_get(t._params)
+
+    t2 = make(tmp_path / "async")
+    t2.restore_checkpoint()
+    assert t2._epoch == 2
+    for a, b in zip(jax.tree_util.tree_leaves(params_trained),
+                    jax.tree_util.tree_leaves(jax.device_get(t2._params))):
+        np.testing.assert_array_equal(a, b)
