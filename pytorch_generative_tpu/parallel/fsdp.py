@@ -79,7 +79,10 @@ def fsdp_shardings(tree, mesh: Mesh, axis_name: str = DATA_AXIS,
         path_str = jax.tree_util.keystr(path)
         for pattern, tp_spec in compiled:
             if pattern.search(path_str):
-                entries = list(tp_spec) + [None] * (leaf.ndim - len(tp_spec))
+                # Truncate as well as pad: optimizer state can mirror a param
+                # path at reduced rank (e.g. factored second moments), and an
+                # over-long spec would fail device_put with a rank mismatch.
+                entries = (list(tp_spec) + [None] * leaf.ndim)[: leaf.ndim]
                 taken = tuple(d for d, e in enumerate(entries)
                               if e is not None)
                 dp = fsdp_spec(leaf.shape, n_shards, axis_name, min_size,

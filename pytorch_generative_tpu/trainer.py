@@ -311,7 +311,12 @@ class Trainer:
                 _, new_rest = core.partition(new_model)
                 return grads, metrics, new_rest
 
-            if accum <= 1:
+            # Ragged batches (loader remainder smaller than, or not divisible
+            # by, accum) are computed whole: a new shape triggers a fresh jit
+            # trace anyway, and silently truncating samples (or scanning zero-
+            # row microbatches, whose mean is NaN) would break the exactness
+            # contract below.
+            if accum <= 1 or x.shape[0] < accum or x.shape[0] % accum:
                 return single(rest, x, y, rng)
 
             mb = x.shape[0] // accum
@@ -356,6 +361,12 @@ class Trainer:
                 finite = jnp.isfinite(norm) & jnp.isfinite(metrics["loss"])
                 metrics["nonfinite_steps"] = 1.0 - finite.astype(jnp.float32)
                 keep = finite if keep is None else (keep & finite)
+                # Also revert stateful buffers (VQ-EMA statistics): NaNs that
+                # reach them would poison every later forward even with the
+                # params guarded. (skip_grad_norm alone intentionally commits
+                # them — the reference's in-place buffer updates survive its
+                # skipped steps.)
+                new_rest = _tree_select(finite, new_rest, rest)
             if keep is not None:
                 new_params = _tree_select(keep, new_params, params)
                 new_opt_state = _tree_select(keep, new_opt_state, opt_state)
@@ -586,6 +597,8 @@ class Trainer:
                 applied = True
                 if self.skip_grad_norm is not None and "grad_norm" in metrics:
                     applied = float(metrics["grad_norm"]) <= self.skip_grad_norm
+                if applied and float(metrics.get("nonfinite_steps", 0.0)):
+                    applied = False  # skip_nonfinite reverted this update too
                 if applied:
                     self._applied_steps += 1
                 self._log_metrics(metrics, training=True, step=step)
@@ -635,6 +648,10 @@ class Trainer:
             self._save_checkpoint()
             if self._epoch % self.sample_epochs == 0:
                 self.sample_one_batch()
+        # The last epoch's async write must land before we return: the writer
+        # is a daemon thread, and losing it at interpreter exit would silently
+        # drop the newest checkpoint.
+        self.join_pending_checkpoint()
 
         self._writer.flush()
 

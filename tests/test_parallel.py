@@ -644,3 +644,18 @@ def test_trainer_fsdp_matches_single_device(tmp_path):
     xs, _ = t8._prepare_batch(x, None)
     em = t8._eval_step(t8._params, t8._rest, xs, None, jax.random.PRNGKey(1))
     assert np.isfinite(float(np.asarray(em["loss"])))
+
+
+def test_fsdp_tp_rule_on_lower_rank_leaf():
+    """A TP rule whose spec is longer than a matched leaf's rank (factored
+    optimizer state mirroring a conv weight path) must truncate, not crash."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = parallel.make_2d_mesh(4, 2)
+    rules = ((r"mlp_conv1.*weight", P(None, None, None, "model")),)
+    tree = {"mlp_conv1": {"weight": jnp.zeros((5, 3, 8))}}  # rank 3 < 4
+    sharded = parallel.shard_tree_fsdp(tree, mesh, min_size=0, tp_rules=rules)
+    leaf = sharded["mlp_conv1"]["weight"]
+    assert leaf.shape == (5, 3, 8)
+    # 'model' fell off the truncated spec; FSDP still shards a data dim.
+    assert any(e == "data" for e in (leaf.sharding.spec or ()))

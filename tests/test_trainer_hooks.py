@@ -219,3 +219,87 @@ def test_async_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params_trained),
                     jax.tree_util.tree_leaves(jax.device_get(t2._params))):
         np.testing.assert_array_equal(a, b)
+
+
+def test_grad_accumulation_ragged_batch_trains_all_samples(tmp_path):
+    """A batch smaller than (or not divisible by) grad_accumulation must be
+    computed whole — same result as the accumulation-free Trainer, no NaNs,
+    no silently dropped samples."""
+    import jax
+    import numpy as np
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    def make(accum, tag):
+        model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                            in_shape=(4, 4, 1))
+        loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8)
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader,
+            grad_accumulation=accum, log_dir=str(tmp_path / f"rg{tag}"),
+            use_tensorboard=False)
+
+    # batch 20 with accum 8 (non-divisible) and batch 4 with accum 8 (smaller).
+    for shape in [(20, 4, 4, 1), (4, 4, 4, 1)]:
+        x = np.random.default_rng(0).random(shape).astype(np.float32)
+        t1 = make(1, f"a{shape[0]}")
+        m1, _ = t1.train_one_step(x, None)
+        t8 = make(8, f"b{shape[0]}")
+        m8, _ = t8.train_one_step(x, None)
+        np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                                   float(np.asarray(m8["loss"])), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1._params)),
+                        jax.tree_util.tree_leaves(jax.device_get(t8._params))):
+            np.testing.assert_allclose(a, b, atol=1e-7)
+
+
+def test_skip_nonfinite_guards_stateful_buffers(tmp_path):
+    """A NaN step with skip_nonfinite=True must leave VQ-EMA statistics (model
+    state, not just params) untouched, so training can recover."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    model = models.VectorQuantizedVAE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+        hidden_channels=8, n_residual_blocks=1, residual_channels=4,
+        n_embeddings=16, embedding_dim=4, in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+
+    def loss_fn(x, _, preds):
+        preds, vq_loss = preds
+        base = jnp.mean((preds - x) ** 2) + vq_loss
+        return jnp.where(x[0, 0, 0, 0] < 0, jnp.nan, base)
+
+    t = trainer.Trainer(model=model, loss_fn=loss_fn,
+                        optimizer=optax.adam(1e-3), train_loader=loader,
+                        eval_loader=loader, skip_nonfinite=True,
+                        log_dir=str(tmp_path / "vqguard"),
+                        use_tensorboard=False)
+
+    x_ok = np.random.default_rng(0).random((8, 8, 8, 1)).astype(np.float32)
+    t.train_one_step(x_ok, None)
+    rest_before = jax.device_get(t._rest)
+
+    x_bad = x_ok.copy()
+    x_bad[0, 0, 0, 0] = -1.0
+    m, _ = t.train_one_step(x_bad, None)
+    assert float(np.asarray(m["nonfinite_steps"])) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(rest_before),
+                    jax.tree_util.tree_leaves(jax.device_get(t._rest))):
+        np.testing.assert_array_equal(a, b)
+
+    # Recovery: next finite step is finite and updates state.
+    m, _ = t.train_one_step(x_ok, None)
+    assert float(np.asarray(m["nonfinite_steps"])) == 0.0
+    assert np.isfinite(float(np.asarray(m["loss"])))
