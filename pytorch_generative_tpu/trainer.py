@@ -48,6 +48,34 @@ def _get_metrics_dict(loss_or_metrics):
     return metrics
 
 
+# Trainer arguments the CLI can default-override (train.py): applied in
+# __init__ for any of these arguments the caller left at its default, so
+# flags like --fsdp reach the Trainers constructed inside reproduce()
+# without changing every reproduce() signature.
+_DEFAULT_OVERRIDES = {}
+_OVERRIDABLE_DEFAULTS = {
+    "fsdp": False,
+    "grad_accumulation": 1,
+    "compute_dtype": None,
+    "async_checkpoint": False,
+    "skip_nonfinite": False,
+    "keep_checkpoints": None,
+}
+
+
+def set_default_overrides(**kwargs):
+    """Sets Trainer-argument defaults for this process (the train.py CLI
+    hook). Only arguments in ``_OVERRIDABLE_DEFAULTS`` are accepted; ``None``
+    values are ignored. A later explicit argument at a Trainer call site
+    still wins when it differs from the declared default."""
+    for k in kwargs:
+        if k not in _OVERRIDABLE_DEFAULTS:
+            raise ValueError(f"{k} is not an overridable Trainer default")
+    _DEFAULT_OVERRIDES.clear()
+    _DEFAULT_OVERRIDES.update(
+        {k: v for k, v in kwargs.items() if v is not None})
+
+
 def _tree_select(keep, a, b):
     """Elementwise pytree select: a where keep else b."""
     return jax.tree_util.tree_map(
@@ -149,6 +177,26 @@ class Trainer:
                 the loss stay float32; parameters and inputs are cast for the
                 forward/backward compute (MXU-native bf16).
         """
+        # CLI default-overrides (set_default_overrides): applied only where
+        # the call site left the argument at its declared default.
+        _args = {"fsdp": fsdp,
+                 "grad_accumulation": grad_accumulation,
+                 "compute_dtype": compute_dtype,
+                 "async_checkpoint": async_checkpoint,
+                 "skip_nonfinite": skip_nonfinite,
+                 "keep_checkpoints": keep_checkpoints}
+        for _k, _v in _DEFAULT_OVERRIDES.items():
+            if _args[_k] == _OVERRIDABLE_DEFAULTS[_k]:
+                _args[_k] = _v
+        fsdp = _args["fsdp"]
+        grad_accumulation = _args["grad_accumulation"]
+        compute_dtype = _args["compute_dtype"]
+        async_checkpoint = _args["async_checkpoint"]
+        skip_nonfinite = _args["skip_nonfinite"]
+        keep_checkpoints = _args["keep_checkpoints"]
+        if isinstance(compute_dtype, str):  # CLI passes a dtype name
+            compute_dtype = jnp.dtype(compute_dtype)
+
         if (isinstance(optimizer, tuple)
                 and not isinstance(optimizer, optax.GradientTransformation)):
             optimizer, lr_schedule = optimizer

@@ -303,3 +303,46 @@ def test_skip_nonfinite_guards_stateful_buffers(tmp_path):
     m, _ = t.train_one_step(x_ok, None)
     assert float(np.asarray(m["nonfinite_steps"])) == 0.0
     assert np.isfinite(float(np.asarray(m["loss"])))
+
+
+def test_cli_default_overrides_reach_trainer(tmp_path):
+    """set_default_overrides (the train.py CLI hook) must apply to Trainer
+    arguments left at their defaults and be beaten by explicit arguments."""
+    import jax
+    import optax
+
+    from pytorch_generative_tpu import debug, models, trainer
+
+    def loss_fn(x, _, preds):
+        import optax as _o
+        n = x.shape[0]
+        return _o.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(1).mean()
+
+    def make(**kw):
+        model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                            in_shape=(4, 4, 1))
+        loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=8)
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / "cli"), use_tensorboard=False, **kw)
+
+    trainer.set_default_overrides(grad_accumulation=4, skip_nonfinite=True,
+                                  compute_dtype="bfloat16")
+    try:
+        t = make()
+        assert t.grad_accumulation == 4
+        assert t.skip_nonfinite is True
+        assert str(t.compute_dtype) == "bfloat16"
+        # Explicit argument beats the override.
+        t2 = make(grad_accumulation=2)
+        assert t2.grad_accumulation == 2
+        import pytest
+        with pytest.raises(ValueError):
+            trainer.set_default_overrides(not_a_real_arg=1)
+    finally:
+        trainer.set_default_overrides()  # clear
+
+    t3 = make()
+    assert t3.grad_accumulation == 1 and t3.skip_nonfinite is False

@@ -74,6 +74,15 @@ def maybe_init_multihost() -> bool:
 def main(args):
     if args.multihost:
         maybe_init_multihost()
+    from pytorch_generative_tpu import trainer as _trainer
+
+    _trainer.set_default_overrides(
+        fsdp=args.fsdp or None,
+        grad_accumulation=args.grad_accumulation,
+        compute_dtype=("bfloat16" if args.bf16 else None),
+        async_checkpoint=args.async_checkpoint or None,
+        skip_nonfinite=args.skip_nonfinite or None,
+        keep_checkpoints=args.keep_checkpoints)
     MODEL_DICT[args.model].reproduce(
         args.epochs, args.batch_size, args.logdir, args.devices)
 
@@ -97,5 +106,23 @@ if __name__ == "__main__":
     parser.add_argument(
         "--multihost", action="store_true",
         help="initialize jax.distributed for multi-host (DCN) meshes")
+    parser.add_argument(
+        "--fsdp", action="store_true",
+        help="shard params/grads/optimizer state over the data mesh (ZeRO-3)")
+    parser.add_argument(
+        "--grad-accumulation", type=int, default=None,
+        help="microbatches to average per optimizer step (exact virtual batch)")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 compute (f32 master weights and optimizer state)")
+    parser.add_argument(
+        "--async-checkpoint", action="store_true",
+        help="write checkpoints from a background thread")
+    parser.add_argument(
+        "--skip-nonfinite", action="store_true",
+        help="skip optimizer steps with NaN/inf loss or gradients")
+    parser.add_argument(
+        "--keep-checkpoints", type=int, default=None,
+        help="keep only the newest N checkpoint files")
     args = parser.parse_args()
     main(args)
