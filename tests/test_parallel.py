@@ -659,3 +659,35 @@ def test_fsdp_tp_rule_on_lower_rank_leaf():
     assert leaf.shape == (5, 3, 8)
     # 'model' fell off the truncated spec; FSDP still shards a data dim.
     assert any(e == "data" for e in (leaf.sharding.spec or ()))
+
+
+def test_feature_combos_smoke(tmp_path):
+    """bf16 compute, grad accumulation, DP, and FSDP compose: one train step
+    of each combination runs and produces finite loss."""
+    import jax.numpy as jnp
+    import optax
+
+    x = np.random.default_rng(0).random((16, 4, 4, 1)).astype(np.float32)
+
+    def loss_fn(xb, _, preds):
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    combos = [
+        dict(compute_dtype=jnp.bfloat16, grad_accumulation=4),
+        dict(n_devices=8, grad_accumulation=2),
+        dict(n_devices=8, fsdp=True, fsdp_min_size=0,
+             compute_dtype=jnp.bfloat16),
+        dict(n_devices=8, compute_dtype=jnp.bfloat16, skip_nonfinite=True),
+    ]
+    for i, kw in enumerate(combos):
+        model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
+                            in_shape=(4, 4, 1))
+        loader = debug.DummyLoader(shape=(4, 4, 1), batch_size=16)
+        t = trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-3),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / f"combo{i}"), use_tensorboard=False, **kw)
+        m, _ = t.train_one_step(x, None)
+        assert np.isfinite(float(np.asarray(m["loss"]))), f"combo {kw}"
