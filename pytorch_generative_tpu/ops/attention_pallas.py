@@ -34,8 +34,16 @@ _NEG_INF = float("-inf")
 
 
 def _blocks(l: int, block_q: int, block_k: int):
+    """Padded sequence length: the least common multiple-of-both-blocks cover.
+
+    Both grids are l_pad // block; a block not dividing l_pad would leave
+    output rows unwritten, so the divisibility is asserted here.
+    """
     block = max(block_q, block_k)
     l_pad = -(-l // block) * block
+    assert l_pad % block_q == 0 and l_pad % block_k == 0, (
+        f"block sizes ({block_q}, {block_k}) must both divide the padded "
+        f"length {l_pad}")
     return l_pad
 
 
@@ -264,9 +272,14 @@ def _pick_blocks(l, block_q, block_k, n_heads=1, resident_bytes=0,
     for b in range(cap - cap % 8, 7, -8):
         if l % b == 0:
             return b, b
+    # No exact divisor: fall back to ONE multiple-of-8 size for both blocks.
+    # Unequal (or non-multiple-of-8) user sizes must not survive here — the
+    # grid is l_pad // block, so a block that does not divide the padded
+    # length would leave output rows unwritten (silent garbage).
     cap2 = max(128, 1 << (max(l - 1, 1)).bit_length())
-    return (min(block_q, cap2, cap - cap % 8 or 8),
-            min(block_k, cap2, cap - cap % 8 or 8))
+    b = min(block_q, block_k, cap2, cap - cap % 8 or 8)
+    b -= b % 8
+    return max(b, 8), max(b, 8)
 
 
 def _pick_blocks_and_limit(l, block_q, block_k, n_heads, resident_bytes):

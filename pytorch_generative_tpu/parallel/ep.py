@@ -54,6 +54,16 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
         f"{n_experts} experts not divisible over {n_devices} devices")
     assert x.shape[0] % n_devices == 0, (
         f"batch {x.shape[0]} not divisible over {n_devices} devices")
+    if x.ndim == 2:
+        # The dense path routes a (N, C) matrix as ONE global group; no
+        # per-device grouping can reproduce that capacity/aux-loss math
+        # without cross-device routing, so reject rather than silently
+        # diverge. (>=3-D inputs group per sample on both paths — identical.)
+        raise ValueError(
+            "moe_forward_expert_parallel needs (N, ..., C) inputs with a "
+            "leading batch axis (>= 3-D); a 2-D token matrix routes as one "
+            "global group on the dense path, which expert parallelism "
+            "cannot replicate.")
 
     # Split the module into (replicated router, expert-sharded stacks). Every
     # array field rides in as a shard_map input — nothing is closed over, so
@@ -62,14 +72,13 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
     router = moe.gate
     # Per-group (per local sample) routing, matching the dense path: capacity
     # scales with the group's token count, not the whole local batch.
-    group_tokens = x.size // x.shape[-1] // x.shape[0] if x.ndim > 2 else (
-        x.size // x.shape[-1] // n_devices)
+    group_tokens = x.size // x.shape[-1] // x.shape[0]
     capacity = capacity_for(group_tokens, n_experts, moe.capacity_factor)
 
     def shard_fn(router_p, expert_w, x_local):
         m = moe.replace(gate=router_p, **expert_w)
-        tokens = (x_local.reshape(x_local.shape[0], -1, x_local.shape[-1])
-                  if x_local.ndim > 2 else x_local[None])  # (G, Tg, C)
+        tokens = x_local.reshape(x_local.shape[0], -1,
+                                 x_local.shape[-1])  # (G, Tg, C)
         dispatch, combine, aux = jax.vmap(
             lambda t: m.route(t, capacity))(tokens)
         expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, tokens)

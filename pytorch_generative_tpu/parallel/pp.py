@@ -48,9 +48,24 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
             the microbatch (t - s) it is processing — no ring traffic.
     Returns:
         (n_micro, micro_batch, ...) outputs after all stages.
+
+    Memory profile: this schedule partitions the *weights* (each stage holds
+    only its block) while the microbatched activations ride replicated
+    (in_spec P() and psum-replicated outputs) — per-device activation
+    residency is O(whole batch), not O(microbatch). That is the right
+    trade when weights dominate (the transformer regime this ships for);
+    feeding stage 0 alone and gathering emissions once would shrink it.
     """
     n_stages = mesh.shape[axis_name]
     n_micro = x_micro.shape[0]
+    lead_sizes = {a.shape[0] for a in jax.tree_util.tree_leaves(stacked_blocks)
+                  if hasattr(a, "shape") and a.ndim}
+    assert lead_sizes == {n_stages}, (
+        f"stacked_blocks' leading axis must equal the {axis_name!r} mesh axis "
+        f"size ({n_stages}); got {sorted(lead_sizes)}. Group blocks with "
+        f"group_and_stack (or use pipeline_forward) for multi-block stages — "
+        f"a larger leading axis would silently run only the first block per "
+        f"stage.")
     n_ticks = n_micro + n_stages - 1
     has_extras = extras_micro is not None
     if not has_extras:

@@ -61,13 +61,17 @@ PIXEL_SNAIL_TP_RULES = (
 # gelu -> conv3 (3x3) -> gelu -> conv4 (1x1 b->c); sharding the bottleneck
 # width as two Megatron pairs (conv1/conv2 and conv3/conv4) keeps all GELUs
 # fully sharded and reduces each pair's partial sums once.
+# Anchored on the BottleneckBlock contexts (encoder residuals, decoder
+# prior/posterior/out) so a future field merely *ending* in conv1..conv4
+# (cf. PixelSNAIL's output_conv1) can never silently pick up these specs.
+_VD_VAE_BLOCK = r"(residuals\[\d+\]|prior|posterior|out)\."
 VD_VAE_TP_RULES = (
-    (r"conv1\.weight", P(None, None, None, MODEL_AXIS)),
-    (r"conv1\.bias", P(MODEL_AXIS)),
-    (r"conv2\.weight", P(None, None, MODEL_AXIS, None)),
-    (r"conv3\.weight", P(None, None, None, MODEL_AXIS)),
-    (r"conv3\.bias", P(MODEL_AXIS)),
-    (r"conv4\.weight", P(None, None, MODEL_AXIS, None)),
+    (_VD_VAE_BLOCK + r"conv1\.weight", P(None, None, None, MODEL_AXIS)),
+    (_VD_VAE_BLOCK + r"conv1\.bias", P(MODEL_AXIS)),
+    (_VD_VAE_BLOCK + r"conv2\.weight", P(None, None, MODEL_AXIS, None)),
+    (_VD_VAE_BLOCK + r"conv3\.weight", P(None, None, None, MODEL_AXIS)),
+    (_VD_VAE_BLOCK + r"conv3\.bias", P(MODEL_AXIS)),
+    (_VD_VAE_BLOCK + r"conv4\.weight", P(None, None, MODEL_AXIS, None)),
 )
 
 TP_RULES_BY_MODEL = {
