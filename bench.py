@@ -397,6 +397,28 @@ def main():
             _emit("pixel_snail_train_throughput", sps, "samples/sec",
                   base.get("reference_pixel_snail_cpu_train_samples_per_sec"))
 
+        # --- GatedPixelCNN: the two-stream masked-conv family, reproduce()
+        # config (10 gated layers, 128 channels).
+        gp = models.GatedPixelCNN(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, n_gated=10,
+            gated_channels=128, head_channels=32, in_shape=(28, 28, 1))
+        xg = jnp.asarray((np.random.default_rng(5).random(
+            (128, 28, 28, 1)) < 0.13).astype(np.float32))
+        sps = bench_train_generic(gp, pc_loss, xg, max(n_steps // 2, chunk),
+                                  chunk)
+        _emit("gated_pixel_cnn_train_throughput", sps, "samples/sec",
+              base.get("reference_gated_pixel_cnn_cpu_train_samples_per_sec"))
+
+        # --- MADE: the masked-MLP family (one 8000-wide hidden layer).
+        md = models.MADE(jax.random.PRNGKey(0), input_dim=784,
+                         hidden_dims=[8000], n_masks=1, in_shape=(28, 28, 1))
+        xmade = jnp.asarray((np.random.default_rng(6).random(
+            (128, 28, 28, 1)) < 0.13).astype(np.float32))
+        sps = bench_train_generic(md, pc_loss, xmade,
+                                  max(n_steps // 2, chunk), chunk)
+        _emit("made_train_throughput", sps, "samples/sec",
+              base.get("reference_made_cpu_train_samples_per_sec"))
+
         # --- VD-VAE: the hierarchical-VAE family heavyweight, reproduce()
         # config (6 stacks, hidden 64, latent 16 on padded-32 MNIST).
         from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
