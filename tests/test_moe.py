@@ -252,3 +252,18 @@ def test_image_gpt_moe_dp_matches_single_device(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p8)):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_expert_parallel_rejects_2d_tokens():
+    """2-D token matrices route as ONE global group on the dense path, which
+    per-device routing cannot replicate — EP must reject them explicitly."""
+    import pytest
+
+    from pytorch_generative_tpu import parallel
+
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=8, capacity_factor=8.0)
+    mesh = parallel.make_mesh(8, axis_name="expert")
+    x2d = jnp.ones((16, 8))
+    with pytest.raises(ValueError, match="leading batch axis"):
+        parallel.moe_forward_expert_parallel(moe, x2d, mesh)
