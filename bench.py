@@ -116,6 +116,12 @@ def bench_train(model, batch_size, n_steps, chunk, compute_dtype=None,
             preds.reshape(n, -1), x.reshape(n, -1))
         return loss.sum(axis=1).mean()
 
+    if accum > 1 and batch_size % accum:
+        raise ValueError(
+            f"batch size {batch_size} is not divisible by the derived "
+            f"accumulation factor {accum} (BENCH_BIG_BATCH must be a "
+            f"multiple of BENCH_BATCH_SIZE)")
+
     def train_step(carry, x):
         params, opt_state = carry
         if accum > 1:

@@ -48,10 +48,12 @@ def _get_metrics_dict(loss_or_metrics):
     return metrics
 
 
-# Trainer arguments the CLI can default-override (train.py): applied in
-# __init__ for any of these arguments the caller left at its default, so
-# flags like --fsdp reach the Trainers constructed inside reproduce()
-# without changing every reproduce() signature.
+# Trainer arguments the CLI can default-override (train.py): the Trainer
+# signature declares them as the _UNSET sentinel, so an explicit argument at
+# any call site always wins over the override — even when it equals the
+# documented default — and flags like --fsdp still reach the Trainers
+# constructed inside reproduce() without changing every reproduce() signature.
+_UNSET = object()
 _DEFAULT_OVERRIDES = {}
 _OVERRIDABLE_DEFAULTS = {
     "fsdp": False,
@@ -66,8 +68,9 @@ _OVERRIDABLE_DEFAULTS = {
 def set_default_overrides(**kwargs):
     """Sets Trainer-argument defaults for this process (the train.py CLI
     hook). Only arguments in ``_OVERRIDABLE_DEFAULTS`` are accepted; ``None``
-    values are ignored. A later explicit argument at a Trainer call site
-    still wins when it differs from the declared default."""
+    values are ignored. An explicit argument at a Trainer call site always
+    wins (the signature uses an _UNSET sentinel, so explicitly passing the
+    documented default is distinguishable from not passing it)."""
     for k in kwargs:
         if k not in _OVERRIDABLE_DEFAULTS:
             raise ValueError(f"{k} is not an overridable Trainer default")
@@ -97,22 +100,22 @@ class Trainer:
         lr_schedule=None,
         clip_grad_norm=None,
         skip_grad_norm=None,
-        skip_nonfinite=False,
-        grad_accumulation=1,
+        skip_nonfinite=_UNSET,
+        grad_accumulation=_UNSET,
         log_dir=None,
         sample_epochs=3,
         save_checkpoint_epochs=1,
-        keep_checkpoints=None,
-        async_checkpoint=False,
+        keep_checkpoints=_UNSET,
+        async_checkpoint=_UNSET,
         n_devices=1,
         mesh_shape=None,
         tp_rules=None,
-        fsdp=False,
+        fsdp=_UNSET,
         fsdp_min_size=None,
         seed=0,
         use_tensorboard=True,
         profile_steps=None,
-        compute_dtype=None,
+        compute_dtype=_UNSET,
     ):
         """Initializes a new Trainer.
 
@@ -178,22 +181,19 @@ class Trainer:
                 forward/backward compute (MXU-native bf16).
         """
         # CLI default-overrides (set_default_overrides): applied only where
-        # the call site left the argument at its declared default.
-        _args = {"fsdp": fsdp,
-                 "grad_accumulation": grad_accumulation,
-                 "compute_dtype": compute_dtype,
-                 "async_checkpoint": async_checkpoint,
-                 "skip_nonfinite": skip_nonfinite,
-                 "keep_checkpoints": keep_checkpoints}
-        for _k, _v in _DEFAULT_OVERRIDES.items():
-            if _args[_k] == _OVERRIDABLE_DEFAULTS[_k]:
-                _args[_k] = _v
-        fsdp = _args["fsdp"]
-        grad_accumulation = _args["grad_accumulation"]
-        compute_dtype = _args["compute_dtype"]
-        async_checkpoint = _args["async_checkpoint"]
-        skip_nonfinite = _args["skip_nonfinite"]
-        keep_checkpoints = _args["keep_checkpoints"]
+        # the call site did not pass the argument at all (_UNSET sentinel), so
+        # explicit arguments — including explicitly-passed defaults — win.
+        def _resolve(name, value):
+            if value is not _UNSET:
+                return value
+            return _DEFAULT_OVERRIDES.get(name, _OVERRIDABLE_DEFAULTS[name])
+
+        fsdp = _resolve("fsdp", fsdp)
+        grad_accumulation = _resolve("grad_accumulation", grad_accumulation)
+        compute_dtype = _resolve("compute_dtype", compute_dtype)
+        async_checkpoint = _resolve("async_checkpoint", async_checkpoint)
+        skip_nonfinite = _resolve("skip_nonfinite", skip_nonfinite)
+        keep_checkpoints = _resolve("keep_checkpoints", keep_checkpoints)
         if isinstance(compute_dtype, str):  # CLI passes a dtype name
             compute_dtype = jnp.dtype(compute_dtype)
 
@@ -214,6 +214,7 @@ class Trainer:
         self.keep_checkpoints = keep_checkpoints
         self.async_checkpoint = bool(async_checkpoint)
         self._ckpt_thread = None
+        self._warned_ragged_accum = False
         self.compute_dtype = compute_dtype
         self.n_devices = max(int(n_devices or 1), 1)
 
@@ -234,6 +235,14 @@ class Trainer:
             # with sharded state has global semantics, so VQ-EMA statistics
             # are globally correct without explicit psum).
             self._mesh2d = parallel.make_mesh(self.n_devices)
+        elif self._fsdp:
+            import warnings
+
+            warnings.warn(
+                "Trainer(fsdp=True) has no effect on a single device "
+                "(n_devices == 1 and no mesh_shape): state stays replicated. "
+                "Pass n_devices > 1 (or mesh_shape) to actually shard.",
+                stacklevel=2)
         elif self.n_devices > 1:
             self._mesh = parallel.make_mesh(self.n_devices)
             model = parallel.set_vq_axis_name(model, parallel.DATA_AXIS)
@@ -363,8 +372,21 @@ class Trainer:
             # by, accum) are computed whole: a new shape triggers a fresh jit
             # trace anyway, and silently truncating samples (or scanning zero-
             # row microbatches, whose mean is NaN) would break the exactness
-            # contract below.
+            # contract below. The whole-batch step holds every activation live
+            # at once, so if accumulation was sized to fit HBM, the remainder
+            # step can OOM — warn (once; this branch runs at trace time).
             if accum <= 1 or x.shape[0] < accum or x.shape[0] % accum:
+                if accum > 1 and not self._warned_ragged_accum:
+                    self._warned_ragged_accum = True
+                    import warnings
+
+                    warnings.warn(
+                        f"grad_accumulation={accum}: batch of "
+                        f"{x.shape[0]} is not divisible by it; computing this "
+                        "batch in ONE backward (all activations live — may "
+                        "need more memory than the accumulated steps). Size "
+                        "the loader so every batch divides grad_accumulation "
+                        "to avoid this.", stacklevel=2)
                 return single(rest, x, y, rng)
 
             mb = x.shape[0] // accum
@@ -605,6 +627,15 @@ class Trainer:
 
     def interleaved_train_and_eval(self, max_epochs, restore=True):
         """Trains, evaluating after each epoch. Auto-resumes when restore=True."""
+        try:
+            self._interleaved_train_and_eval(max_epochs, restore)
+        finally:
+            # Even when training raises mid-epoch, the in-flight async
+            # checkpoint write must land: the writer is a daemon thread and
+            # would be silently discarded at process exit.
+            self.join_pending_checkpoint()
+
+    def _interleaved_train_and_eval(self, max_epochs, restore):
         if restore:
             try:
                 self.restore_checkpoint()
