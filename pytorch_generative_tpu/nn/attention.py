@@ -150,8 +150,9 @@ class LinearCausalAttention(core.Module):
 
     Parity with /root/reference/pytorch_generative/nn/attention.py:208-275 (which
     is unused by any reference model and lacks mask_center/extra_x). The sequential
-    hand-written autograd.Function becomes a cumulative-sum formulation that XLA
-    differentiates directly.
+    hand-written autograd.Function becomes a chunked ``lax.scan`` that carries only
+    the running (d_k, d_v) state (see ops/attention.py), which XLA differentiates
+    directly — genuinely O(L) memory, tested vs naive attention's compiled temps.
 
     Documented divergence (reference defect, do-not-replicate): the reference's
     denominator einsum (attention.py:267) labels Q/K as "nlhi" although their

@@ -37,25 +37,62 @@ def causal_attention(q, k, v, mask_center: bool = False):
     return jnp.einsum("nhqk,nhkd->nhqd", probs, v)
 
 
-def linear_causal_attention(q, k, v, feature_fn=None, eps=1e-10):
-    """O(L) linear causal attention (Katharopoulos et al. 2020).
+def linear_causal_attention(q, k, v, feature_fn=None, eps=1e-10,
+                            chunk_size: int = 128):
+    """O(L)-memory linear causal attention (Katharopoulos et al. 2020).
 
     q, k, v: (N, heads, L, d). The reference implements the numerator with a
     hand-written sequential autograd.Function
-    (/root/reference/pytorch_generative/nn/attention.py:168-195); here the running
-    sum of k_i^T v_i outer products is a cumulative sum that XLA differentiates
-    natively — no custom VJP needed.
+    (/root/reference/pytorch_generative/nn/attention.py:168-195); here the
+    sequence is processed in MXU-sized chunks under one ``lax.scan`` that
+    carries only the running state — the (d_k, d_v) sum of k_i^T v_i outer
+    products and the (d_k,) sum of k_i. Per chunk the causal part is a masked
+    (C, C) score matmul and the cross-chunk part is a (C, d_k) @ (d_k, d_v)
+    matmul, so peak live memory is O(L·d + C² + d_k·d_v) instead of the
+    O(L·d_k·d_v) a materialized cumsum of outer products would need (at the
+    reference's shapes d² = 4096 > L = 784, i.e. worse than naive attention).
+    XLA differentiates the scan natively — no custom VJP needed.
     """
     if feature_fn is None:
         feature_fn = lambda x: jax.nn.elu(x) + 1.0
     q = feature_fn(q)
     k = feature_fn(k)
-    den = 1.0 / (jnp.einsum("nhld,nhld->nhl", q, jnp.cumsum(k, axis=2)) + eps)
-    # S_l = sum_{i<=l} k_i^T v_i  -> out_l = q_l @ S_l.
-    kv = jnp.einsum("nhlk,nhlv->nhlkv", k, v)
-    s = jnp.cumsum(kv, axis=2)
-    num = jnp.einsum("nhlk,nhlkv->nhlv", q, s)
-    return num * den[..., None]
+    n, h, seq_len, d_k = q.shape
+    d_v = v.shape[-1]
+    c = min(chunk_size, seq_len)
+    pad = -seq_len % c
+    if pad:
+        # Zero-padded k rows contribute nothing to the running state or the
+        # denominators; padded q rows produce garbage that is sliced off.
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n_chunks = (seq_len + pad) // c
+    # (n_chunks, N, H, C, d) so scan iterates the leading axis.
+    qc = q.reshape(n, h, n_chunks, c, d_k).transpose(2, 0, 1, 3, 4)
+    kc = k.reshape(n, h, n_chunks, c, d_k).transpose(2, 0, 1, 3, 4)
+    vc = v.reshape(n, h, n_chunks, c, d_v).transpose(2, 0, 1, 3, 4)
+    # Inclusive causal mask: position i attends to j <= i within the chunk.
+    intra_mask = jnp.tril(jnp.ones((c, c), bool))
+
+    def step(carry, inputs):
+        s, z = carry  # (N, H, d_k, d_v) running kv-state, (N, H, d_k) k-sum.
+        qi, ki, vi = inputs
+        scores = jnp.einsum("nhqd,nhkd->nhqk", qi, ki)
+        scores = jnp.where(intra_mask, scores, 0.0)
+        num = (jnp.einsum("nhqk,nhkv->nhqv", scores, vi)
+               + jnp.einsum("nhqd,nhdv->nhqv", qi, s))
+        den = (jnp.sum(scores, axis=-1)
+               + jnp.einsum("nhqd,nhd->nhq", qi, z))
+        out = num / (den + eps)[..., None]
+        s = s + jnp.einsum("nhkd,nhkv->nhdv", ki, vi)
+        z = z + jnp.sum(ki, axis=2)
+        return (s, z), out
+
+    init = (jnp.zeros((n, h, d_k, d_v), q.dtype), jnp.zeros((n, h, d_k), q.dtype))
+    _, outs = jax.lax.scan(step, init, (qc, kc, vc))
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(n, h, n_chunks * c, d_v)
+    return out[:, :, :seq_len]
 
 
 def nhwc_to_heads(x, n_heads: int):

@@ -126,6 +126,30 @@ def test_linear_causal_attention_matches_naive_normalization():
     np.testing.assert_allclose(ours[0, 0], expected, atol=1e-4)
 
 
+def test_linear_causal_attention_is_sub_naive_memory():
+    """The chunked-scan formulation must beat naive O(L²) attention on compiled
+    temp memory at the reference's shapes (L=784, d=32 per head) — the claimed
+    O(L) memory. The old materialized cumsum of (d_k, d_v) outer products used
+    ~6x the naive path's memory here (d² > L)."""
+    q = jnp.zeros((1, 2, 784, 32))
+    lin = jax.jit(attn_ops.linear_causal_attention).lower(q, q, q).compile()
+    naive = jax.jit(attn_ops.causal_attention).lower(q, q, q).compile()
+    assert (lin.memory_analysis().temp_size_in_bytes
+            < naive.memory_analysis().temp_size_in_bytes / 2)
+
+
+def test_linear_causal_attention_chunk_size_invariance():
+    """Output must not depend on the chunk split (incl. ragged final chunk)."""
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((2, 2, 37, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 37, 5)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 37, 4)), jnp.float32)
+    base = attn_ops.linear_causal_attention(q, k, v, chunk_size=37)
+    for c in (1, 8, 16, 128):
+        got = attn_ops.linear_causal_attention(q, k, v, chunk_size=c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=2e-5)
+
+
 def test_causal_attention_extra_x_only_feeds_kv():
     """extra_x must influence values but not break causality (first position of
     a mask_center block stays zero regardless of extra_x)."""
