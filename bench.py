@@ -371,6 +371,13 @@ def main():
         _emit("made_sample_throughput", bench_sampler(made, 16),
               "images/sec", sample_base)
 
+        def nade():
+            return models.NADE(jax.random.PRNGKey(0), input_dim=784,
+                               hidden_dim=500, in_shape=(28, 28, 1))
+
+        _emit("nade_sample_throughput", bench_sampler(nade, 16),
+              "images/sec", sample_base)
+
         check_budget("secondary training")
         # --- Training throughput beyond the flagship: PixelCNN (masked-conv
         # family) and VQ-VAE (stateful EMA codebook path), reproduce() configs
