@@ -44,17 +44,22 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
         mesh: Mesh with ``axis_name``.
         extras_micro: Optional pytree of per-microbatch side inputs with
             leading axis n_micro (e.g. PixelSNAIL's raw image conditioning);
-            replicated on every stage, so stage s just indexes the extras of
-            the microbatch (t - s) it is processing — no ring traffic.
+            sharded like ``x_micro`` and fed/rotated alongside the
+            activations, so stage s always attends over the extras belonging
+            to the microbatch it is processing.
     Returns:
-        (n_micro, micro_batch, ...) outputs after all stages.
+        (n_micro, micro_batch, ...) outputs after all stages (a global array
+        sharded on ``axis_name`` over the microbatch axis).
 
-    Memory profile: this schedule partitions the *weights* (each stage holds
-    only its block) while the microbatched activations ride replicated
-    (in_spec P() and psum-replicated outputs) — per-device activation
-    residency is O(whole batch), not O(microbatch). That is the right
-    trade when weights dominate (the transformer regime this ships for);
-    feeding stage 0 alone and gathering emissions once would shrink it.
+    Memory profile: both the *weights* (each stage holds only its block) and
+    the *activations* are partitioned — the microbatch axis of the inputs and
+    outputs is sharded over ``axis_name`` (requiring n_micro % n_stages == 0),
+    each stage's live working set is one microbatch (plus its 1/n_stages input
+    and output shards), and microbatches move exclusively over the ICI ring:
+    the owning stage feeds microbatch t to stage 0 at tick t, activations
+    rotate stage-to-stage via ``ppermute``, and the last stage sends each
+    finished microbatch back to its owner. Per-device activation residency is
+    O(batch / n_stages), not O(batch).
     """
     n_stages = mesh.shape[axis_name]
     n_micro = x_micro.shape[0]
@@ -66,52 +71,74 @@ def pipeline_apply(stacked_blocks, block_fn, x_micro, mesh: Mesh,
         f"group_and_stack (or use pipeline_forward) for multi-block stages — "
         f"a larger leading axis would silently run only the first block per "
         f"stage.")
+    assert n_micro % n_stages == 0, (
+        f"n_micro ({n_micro}) must be a multiple of the {axis_name!r} mesh "
+        f"axis size ({n_stages}) so the microbatch axis shards evenly across "
+        f"stages (use n_micro >= n_stages anyway: the GPipe bubble fraction "
+        f"is (S-1)/(S-1+M)).")
+    m_per = n_micro // n_stages  # microbatches owned per stage
     n_ticks = n_micro + n_stages - 1
     has_extras = extras_micro is not None
     if not has_extras:
         extras_micro = ()  # empty pytree: no dead operand through shard_map
+    tree_map = jax.tree_util.tree_map
 
-    def shard_fn(blocks_local, x_all, extras_all):
-        # blocks_local: this stage's block (leading axis 1); x_all: all
-        # microbatches (replicated). Stage 0 feeds the pipe; others receive.
+    def shard_fn(blocks_local, x_local, extras_local):
+        # blocks_local: this stage's block (leading axis 1); x_local /
+        # extras_local: the m_per microbatches this stage owns (contiguous
+        # shard of the microbatch axis: stage owns micros [stage*m_per, ...)).
         stage = jax.lax.axis_index(axis_name)
-        block = jax.tree_util.tree_map(lambda a: a[0], blocks_local)
-        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        block = tree_map(lambda a: a[0], blocks_local)
+        ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-        carry = jnp.zeros_like(x_all[0])
-        outputs = jnp.zeros_like(x_all)
+        carry = jnp.zeros_like(x_local[0])
+        ex_carry = tree_map(lambda e: jnp.zeros_like(e[0]), extras_local)
+        out_local = jnp.zeros_like(x_local)
         for t in range(n_ticks):
-            # Stage 0 ingests microbatch t (if any) instead of the ring input.
-            feed_idx = min(t, n_micro - 1)
-            x_in = jnp.where(stage == 0, x_all[feed_idx], carry)
-            if has_extras:
-                # Stage s processes microbatch (t - s) at tick t; pre-warmup
-                # (t < s) the clipped index pairs garbage activations with
-                # microbatch 0's extras, but those outputs never reach an
-                # emitted slot.
-                micro_idx = jnp.clip(t - stage, 0, n_micro - 1)
-                extras_in = jax.tree_util.tree_map(
-                    lambda e: jnp.take(e, micro_idx, axis=0), extras_all)
-                y = block_fn(block, x_in, extras_in)
+            ex_in = ex_carry
+            if t < n_micro:
+                # The owner of microbatch t sends it to stage 0 (one
+                # micro-sized ICI hop; every other device receives zeros and
+                # keeps its ring carry instead).
+                owner, slot = divmod(t, m_per)
+                feed = jax.lax.ppermute(x_local[slot], axis_name,
+                                        [(owner, 0)])
+                x_in = jnp.where(stage == 0, feed, carry)
+                if has_extras:
+                    ex_feed = tree_map(
+                        lambda e: jax.lax.ppermute(e[slot], axis_name,
+                                                   [(owner, 0)]),
+                        extras_local)
+                    ex_in = tree_map(
+                        lambda f, c: jnp.where(stage == 0, f, c),
+                        ex_feed, ex_carry)
             else:
-                y = block_fn(block, x_in)
-            # Last stage emits microbatch (t - n_stages + 1).
+                x_in = carry  # drain phase: nothing new enters the pipe
+            y = (block_fn(block, x_in, ex_in) if has_extras
+                 else block_fn(block, x_in))
+            # The last stage finishes microbatch (t - n_stages + 1); send it
+            # straight back to its owning stage's output shard.
             out_idx = t - (n_stages - 1)
             if out_idx >= 0:
-                emit = jnp.where(stage == n_stages - 1, y,
-                                 jnp.zeros_like(y))
-                outputs = outputs.at[out_idx].add(emit)
-            carry = jax.lax.ppermute(y, axis_name, perm)
-        # Each microbatch's output lives only on the last stage; sum-reduce to
-        # replicate it everywhere (all other stages contributed zeros).
-        return jax.lax.psum(outputs, axis_name)
+                owner_out, slot_out = divmod(out_idx, m_per)
+                emit = jax.lax.ppermute(y, axis_name,
+                                        [(n_stages - 1, owner_out)])
+                out_local = out_local.at[slot_out].set(
+                    jnp.where(stage == owner_out, emit,
+                              out_local[slot_out]))
+            if t < n_ticks - 1:
+                carry = jax.lax.ppermute(y, axis_name, ring)
+                if has_extras:
+                    ex_carry = tree_map(
+                        lambda e: jax.lax.ppermute(e, axis_name, ring), ex_in)
+        return out_local
 
-    blocks_spec = jax.tree_util.tree_map(lambda _: P(axis_name),
-                                         stacked_blocks)
-    extras_spec = jax.tree_util.tree_map(lambda _: P(), extras_micro)
+    blocks_spec = tree_map(lambda _: P(axis_name), stacked_blocks)
+    extras_spec = tree_map(lambda _: P(axis_name), extras_micro)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(blocks_spec, P(), extras_spec), out_specs=P(),
+        in_specs=(blocks_spec, P(axis_name), extras_spec),
+        out_specs=P(axis_name),
         check_vma=False)
     return fn(stacked_blocks, x_micro, extras_micro)
 

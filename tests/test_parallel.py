@@ -425,6 +425,28 @@ def test_vd_vae_tensor_parallel_matches_single_device():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_pipeline_activation_memory_is_sharded():
+    """Per-device activation residency must scale down with stages: the
+    pipelined forward's per-device output is the 1/S microbatch shard, and its
+    per-device temp memory must not exceed the unpipelined (S=1) compile —
+    i.e. microbatches ride the ICI ring rather than being replicated (the old
+    x_all/psum schedule held the whole batch on every stage)."""
+    def compile_stats(n_stages):
+        mesh = parallel.make_mesh(n_stages, axis_name="stage")
+        gpt = models.ImageGPT(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=8,
+            n_transformer_blocks=8, n_attention_heads=2,
+            n_embedding_channels=8, in_shape=(8, 8, 1))
+        x = jnp.zeros((32, 8, 8, 1))
+        f = jax.jit(lambda m, x: parallel.image_gpt_pipeline_forward(
+            m, x, mesh, n_micro=8))
+        return f.lower(gpt, x).compile().memory_analysis()
+
+    one, eight = compile_stats(1), compile_stats(8)
+    assert eight.output_size_in_bytes * 8 == one.output_size_in_bytes
+    assert eight.temp_size_in_bytes <= one.temp_size_in_bytes * 1.2
+
+
 def test_pixel_snail_pipeline_matches_forward():
     """GPipe-sharded PixelSNAIL == its plain forward: the raw-image extra
     rides the ring with each microbatch (and grads flow)."""
