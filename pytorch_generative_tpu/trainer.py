@@ -513,20 +513,30 @@ class Trainer:
             "time_taken": self._time_taken,
         }
         path = self._path(f"trainer_state_{self._epoch}.ckpt")
-        host_tree = jax.device_get(self._checkpoint_tree())
+        if self._fsdp and self._mesh2d is not None:
+            # ZeRO-3: copy shard-by-shard and write one npz per device —
+            # never reassemble the full state on the host (trainer state under
+            # FSDP can exceed any single host allocation at scale).
+            payload = ckpt_utils.snapshot_sharded(self._checkpoint_tree())
+            write_fn = lambda: ckpt_utils.write_sharded(path, payload,
+                                                        metadata)
+        else:
+            host_tree = jax.device_get(self._checkpoint_tree())
+            write_fn = lambda: ckpt_utils.save_checkpoint(path, host_tree,
+                                                          metadata)
         if self.async_checkpoint:
             import threading
 
             self.join_pending_checkpoint()
 
             def write():
-                ckpt_utils.save_checkpoint(path, host_tree, metadata)
+                write_fn()
                 self._prune_checkpoints()
 
             self._ckpt_thread = threading.Thread(target=write, daemon=True)
             self._ckpt_thread.start()
         else:
-            ckpt_utils.save_checkpoint(path, host_tree, metadata)
+            write_fn()
             self._prune_checkpoints()
 
     def join_pending_checkpoint(self):
@@ -549,6 +559,8 @@ class Trainer:
             for f in files)
         for _, path in by_epoch[: max(0, len(by_epoch) - self.keep_checkpoints)]:
             os.remove(path)
+            for shard in glob.glob(path + ".shard*.npz"):
+                os.remove(shard)
 
     def restore_checkpoint(self, epoch=None):
         """Restores Trainer state from self.log_dir (latest epoch by default)."""
@@ -556,19 +568,28 @@ class Trainer:
         epoch = epoch or ckpt_utils.find_latest_epoch(self.log_dir)
         name = f"trainer_state_{epoch}.ckpt"
         print(f"Restoring trainer state from checkpoint {name}.")
-        tree, metadata = ckpt_utils.restore_checkpoint(
-            self._path(name), self._checkpoint_tree())
-        self._params, self._rest = tree["params"], tree["rest"]
-        self._opt_state, self._rng = tree["opt_state"], tree["rng"]
-        if self._mesh is not None:
-            self._params = parallel.replicate(self._params, self._mesh)
-            self._rest = parallel.replicate(self._rest, self._mesh)
-            self._opt_state = parallel.replicate(self._opt_state, self._mesh)
-        elif self._mesh2d is not None:
-            self._params = self._shard_state(self._params)
-            self._rest = self._shard_state(self._rest)
-            if self._fsdp:
-                self._opt_state = self._shard_state(self._opt_state)
+        if ckpt_utils.is_sharded_checkpoint(self._path(name)):
+            # ZeRO-3 checkpoint: each shard goes straight back to its device;
+            # the live (already-sharded) state supplies the target placement.
+            tree, metadata = ckpt_utils.restore_checkpoint_sharded(
+                self._path(name), self._checkpoint_tree())
+            self._params, self._rest = tree["params"], tree["rest"]
+            self._opt_state, self._rng = tree["opt_state"], tree["rng"]
+        else:
+            tree, metadata = ckpt_utils.restore_checkpoint(
+                self._path(name), self._checkpoint_tree())
+            self._params, self._rest = tree["params"], tree["rest"]
+            self._opt_state, self._rng = tree["opt_state"], tree["rng"]
+            if self._mesh is not None:
+                self._params = parallel.replicate(self._params, self._mesh)
+                self._rest = parallel.replicate(self._rest, self._mesh)
+                self._opt_state = parallel.replicate(self._opt_state,
+                                                     self._mesh)
+            elif self._mesh2d is not None:
+                self._params = self._shard_state(self._params)
+                self._rest = self._shard_state(self._rest)
+                if self._fsdp:
+                    self._opt_state = self._shard_state(self._opt_state)
         self._step = metadata["step"]
         self._applied_steps = metadata.get("applied_steps", metadata["step"])
         self._epoch = metadata["epoch"]

@@ -668,6 +668,73 @@ def test_trainer_fsdp_matches_single_device(tmp_path):
     assert np.isfinite(float(np.asarray(em["loss"])))
 
 
+def test_fsdp_sharded_checkpoint_roundtrip(tmp_path):
+    """FSDP checkpoints must be per-device shard files — no host allocation
+    ever holds a full sharded leaf — and a fresh FSDP Trainer must restore to
+    the exact saved state and continue training identically."""
+    import json
+
+    x = np.random.default_rng(0).random((8, 8, 8, 1)).astype(np.float32)
+
+    def make(tag):
+        model = models.ImageGPT(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=8,
+            n_transformer_blocks=2, n_attention_heads=2,
+            n_embedding_channels=8, in_shape=(8, 8, 1))
+        loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=8)
+
+        def loss_fn(xb, _, preds):
+            n = xb.shape[0]
+            return optax.sigmoid_binary_cross_entropy(
+                preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+        return trainer.Trainer(
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(1e-2),
+            train_loader=loader, eval_loader=loader,
+            log_dir=str(tmp_path / "ckpt"),  # shared dir: t2 restores t1's
+            n_devices=8, fsdp=True, fsdp_min_size=0, use_tensorboard=False)
+
+    t1 = make("a")
+    t1.train_one_step(x, None)
+    t1._epoch = 1
+    t1._save_checkpoint()
+
+    index_path = tmp_path / "ckpt" / "trainer_state_1.ckpt"
+    assert index_path.exists()
+    from pytorch_generative_tpu.utils import checkpoint as ckpt_utils
+    assert ckpt_utils.is_sharded_checkpoint(str(index_path))
+    index = json.loads(index_path.read_text())
+    sharded_entries = [e for e in index["leaves"] if e["kind"] == "sharded"]
+    assert sharded_entries, "no leaf was saved sharded under FSDP"
+    # Every saved array is shard-sized: for each sharded leaf, each per-device
+    # piece holds at most 1/8 of the global elements (+rounding).
+    import glob as _glob
+    shard_files = _glob.glob(str(index_path) + ".shard*.npz")
+    assert len(shard_files) >= 8
+    for e in sharded_entries:
+        total = int(np.prod(e["shape"]))
+        assert len(e["shards"]) == 8
+        for s in e["shards"]:
+            piece = int(np.prod([hi - lo for lo, hi in s["index"]]))
+            assert piece <= -(-total // 8)
+
+    t2 = make("b")
+    t2.restore_checkpoint()
+    assert t2._step == t1._step and t2._epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(t1._params)),
+                    jax.tree_util.tree_leaves(jax.device_get(t2._params))):
+        np.testing.assert_allclose(a, b)
+    # Restored state is still sharded (not gathered by the restore).
+    sharded = [l for l in jax.tree_util.tree_leaves(t2._params)
+               if hasattr(l, "sharding") and l.sharding.spec
+               and any(e == "data" for e in l.sharding.spec)]
+    assert sharded
+    m1, _ = t1.train_one_step(x, None)
+    m2, _ = t2.train_one_step(x, None)
+    np.testing.assert_allclose(float(np.asarray(m1["loss"])),
+                               float(np.asarray(m2["loss"])), rtol=1e-6)
+
+
 def test_fsdp_tp_rule_on_lower_rank_leaf():
     """A TP rule whose spec is longer than a matched leaf's rank (factored
     optimizer state mirroring a conv weight path) must truncate, not crash."""
