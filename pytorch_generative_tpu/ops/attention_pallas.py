@@ -59,13 +59,26 @@ def _causal_mask_tile(qi, ki, block_q, block_k, offset):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _full_mask_tile(ki, block_q, block_k, valid_len):
+    """Non-causal tile mask: every key column below ``valid_len`` attends
+    (used by the ring's cross-shard steps, where the whole k/v shard is in
+    the query shard's past)."""
+    col_ids = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    return col_ids < valid_len
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
-                mask_center, scale, n_heads):
+                mask_center, scale, n_heads, causal=True, valid_len=None):
     """Packed multi-head forward: refs carry the full (block, H*d) feature
     width; heads are a static in-kernel loop over register slices. TPU lane
     tiling forbids sub-128 feature blocks in the BlockSpec, and slicing VMEM
     values is far cheaper than the host-side head-split transposes it
-    replaces (measured ~10x the attention math on v5e)."""
+    replaces (measured ~10x the attention math on v5e).
+
+    ``causal=False`` computes full (unmasked) attention against the first
+    ``valid_len`` keys — the cross-shard step of the sequence-parallel ring,
+    where every key is in the query's past."""
     qi = pl.program_id(1)
     # Tiles stay in the input dtype: for bfloat16 inputs the MXU runs its
     # native bf16 multiply / f32 accumulate path (2x f32 matmul throughput);
@@ -75,7 +88,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
     d_k = q_all.shape[-1] // n_heads
     d_v = o_ref.shape[-1] // n_heads
     offset = 1 if mask_center else 0
-    n_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
+    if causal:
+        n_k_blocks = jax.lax.div(qi * block_q + block_q - 1, block_k) + 1
+    else:
+        n_k_blocks = k_ref.shape[1] // block_k
 
     outs, lses = [], []
     for hd in range(n_heads):
@@ -90,7 +106,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
             scores = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-            mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
+            mask = (_causal_mask_tile(qi, ki, block_q, block_k, offset)
+                    if causal
+                    else _full_mask_tile(ki, block_q, block_k, valid_len))
             scores = jnp.where(mask, scores, _NEG_INF)
 
             m_cur = jnp.max(scores, axis=1)
@@ -133,7 +151,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
                       dk_ref, dv_ref, *, block_q, block_k, mask_center, scale,
-                      n_q_blocks, n_heads):
+                      n_q_blocks, n_heads, causal=True, valid_len=None):
     """One-pass backward: dQ, dK, dV from a single probability rebuild.
 
     The split dq/dkv kernel pair recomputed ``scores`` and ``dp`` twice (7
@@ -151,8 +169,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
     d_k = k_ref.shape[-1] // n_heads
     d_v = v_ref.shape[-1] // n_heads
     offset = 1 if mask_center else 0
-    # q blocks strictly before this k block contribute nothing (causality).
-    first_q = jax.lax.div(ki * block_k, block_q)
+    # q blocks strictly before this k block contribute nothing (causality);
+    # in the non-causal (ring cross-shard) mode every q block sees every key.
+    first_q = jax.lax.div(ki * block_k, block_q) if causal else 0
 
     @pl.when(ki == 0)
     def _init():
@@ -168,7 +187,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
         q_rows = q_ref[0, pl.ds(qi * block_q, block_q), :]
         do_rows = do_ref[0, pl.ds(qi * block_q, block_q), :]
         out_rows = out_ref[0, pl.ds(qi * block_q, block_q), :]
-        mask = _causal_mask_tile(qi, ki, block_q, block_k, offset)
+        mask = (_causal_mask_tile(qi, ki, block_q, block_k, offset)
+                if causal
+                else _full_mask_tile(ki, block_q, block_k, valid_len))
 
         dqs, dks, dvs = [], [], []
         for hd in range(n_heads):
@@ -297,9 +318,9 @@ def _pick_blocks_and_limit(l, block_q, block_k, n_heads, resident_bytes):
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
                                              "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "causal"))
 def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
-                   interpret):
+                   interpret, causal=True):
     """Packed-layout forward: q/k (B, L, H*d_k), v (B, L, H*d_v).
 
     Heads are never materialized on the host — the per-head tiles are carved
@@ -325,7 +346,7 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
 
     kernel = functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
                                mask_center=mask_center, scale=scale,
-                               n_heads=n_heads)
+                               n_heads=n_heads, causal=causal, valid_len=l)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, l_pad // block_q),
@@ -356,9 +377,9 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
                                              "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "causal"))
 def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
-                    block_k, interpret):
+                    block_k, interpret, causal=True):
     """Packed-layout backward (see _flash_forward for the layout contract)."""
     b, l, _ = q.shape
     d_k = q.shape[-1] // n_heads
@@ -393,7 +414,7 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
         functools.partial(_bwd_fused_kernel, block_q=block_q,
                           block_k=block_k, mask_center=mask_center,
                           scale=scale, n_q_blocks=l_pad // block_q,
-                          n_heads=n_heads),
+                          n_heads=n_heads, causal=causal, valid_len=l),
         grid=(b, l_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, l_pad, n_heads * d_k), lambda b, i: (b, 0, 0),

@@ -27,6 +27,12 @@ from pytorch_generative_tpu.parallel.pp import (  # noqa: F401
 from pytorch_generative_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention_sharded,
     ring_causal_attention,
+    ring_flash_attention_packed,
+    ring_flash_attention_sharded,
+)
+from pytorch_generative_tpu.parallel.sp import (  # noqa: F401
+    SequenceParallelImageGPT,
+    image_gpt_sp_forward,
 )
 from pytorch_generative_tpu.parallel.tp import (  # noqa: F401
     IMAGE_GPT_TP_RULES,

@@ -141,7 +141,9 @@ class Trainer:
                 step (mean of equal-chunk means) while only one microbatch's
                 activations are live, so the effective batch can exceed HBM.
             log_dir: Checkpoints + metrics directory (temp dir if None).
-            sample_epochs: Epochs between 16-image sample grids.
+            sample_epochs: Epochs between 16-image sample grids (None
+                disables sampling; the reference mods by it unconditionally,
+                trainer.py:284).
             save_checkpoint_epochs: Epochs between checkpoints.
             keep_checkpoints: If set, only the newest n checkpoint files are
                 kept on disk (older ones are pruned after each save) — the
@@ -746,7 +748,7 @@ class Trainer:
 
             self._epoch += 1
             self._save_checkpoint()
-            if self._epoch % self.sample_epochs == 0:
+            if self.sample_epochs and self._epoch % self.sample_epochs == 0:
                 self.sample_one_batch()
         # The last epoch's async write must land before we return: the writer
         # is a daemon thread, and losing it at interpreter exit would silently
