@@ -1,16 +1,24 @@
-"""Sparsely-gated Mixture-of-Experts layer (Switch-style top-1 routing).
+"""Sparsely-gated Mixture-of-Experts layer (Switch top-1 / GShard top-2).
 
 The reference framework has no MoE (SURVEY.md section 2.8 lists only DDP data
 parallelism); this layer and its expert-parallel execution path
 (parallel/ep.py) extend the parallelism portfolio to dp/tp/sp/pp/ep — the full
 set of shardings a production TPU stack ships.
 
-TPU-native construction: routing is expressed entirely as static-shape one-hot
-einsums (the GShard/Switch dispatch-combine formulation), so the whole layer is
-three batched matmuls on the MXU plus elementwise gating — no gather/scatter,
-no dynamic shapes, nothing XLA cannot tile. Tokens beyond an expert's capacity
-are dropped (their contribution is zero; the surrounding residual connection
-carries them through), which keeps every shape static under jit.
+TPU-native construction: routing is a single stable sort of the (token,
+choice) pairs by expert followed by static-shape row gathers — dispatch costs
+O(T·C + T log T) and the expert MLPs are batched (E, capacity, *) matmuls on
+the MXU. Everything is static-shape under jit: tokens beyond an expert's
+capacity are dropped (their contribution is zero; the surrounding residual
+connection carries them through).
+
+An earlier formulation expressed dispatch/combine as one-hot (T, E, capacity)
+einsums (the GShard paper's presentation). That is O(T · E·capacity · C) =
+O(cf · T^2 · C) compute — at ImageGPT bench shapes (T=784, E=8, cap=196,
+C=64) the routing einsums cost ~1.5x the expert MLPs themselves and capped
+MoE training at ~40% of dense throughput. The sort/gather form eliminates
+that quadratic term; ``route()`` still materializes the one-hot tensors for
+tests/debugging, reconstructed from the same sorted assignment.
 
 Reference points for the routing math (public): the Switch Transformer paper
 (arXiv:2101.03961) and GShard (arXiv:2006.16668).
@@ -34,13 +42,19 @@ def capacity_for(n_tokens: int, n_experts: int, capacity_factor: float) -> int:
 
 
 class SparseMoE(core.Module):
-    """Top-1 (Switch) mixture of E expert MLPs over the feature axis.
+    """Top-k (k=1 Switch, k=2 GShard) mixture of E expert MLPs.
 
     Each expert is a two-layer GELU MLP (C -> hidden -> C) whose weights are
     stacked on a leading expert axis, so the forward pass is batched matmuls
     of shape (E, capacity, *) — MXU-friendly and, under expert parallelism,
     shardable on the expert axis with two ``all_to_all`` collectives
     (parallel/ep.py).
+
+    Gating: ``n_selected=1`` scales the chosen expert's output by its raw
+    router probability (Switch); ``n_selected=2`` normalizes the two chosen
+    probabilities to sum to 1 (GShard). Capacity priority follows GShard:
+    within an expert, every first-choice token outranks every second-choice
+    token, each group in arrival order.
     """
 
     gate: Linear
@@ -50,9 +64,12 @@ class SparseMoE(core.Module):
     b2: jax.Array  # (E, C)
     n_experts: int = core.static_field()
     capacity_factor: float = core.static_field()
+    n_selected: int = core.static_field()
 
     def __init__(self, key, n_channels: int, hidden_channels: int,
-                 n_experts: int, capacity_factor: float = 2.0):
+                 n_experts: int, capacity_factor: float = 2.0,
+                 n_selected: int = 1):
+        assert 1 <= n_selected <= n_experts
         kg, k1, k2, k3, k4 = jax.random.split(key, 5)
         self.gate = Linear(kg, n_channels, n_experts)
         self.w1 = init_ops.torch_default_weight(
@@ -65,41 +82,104 @@ class SparseMoE(core.Module):
             k4, (n_experts, n_channels), hidden_channels)
         self.n_experts = n_experts
         self.capacity_factor = capacity_factor
+        self.n_selected = n_selected
 
     # --- Routing (shared by the dense path and parallel/ep.py). ---
 
+    def _top_k(self, tokens):
+        """(T, C) tokens -> (idx (T, S), gates (T, S) f32, probs (T, E))."""
+        probs = jax.nn.softmax(self.gate(tokens).astype(jnp.float32), axis=-1)
+        if self.n_selected == 1:
+            idx = jnp.argmax(probs, axis=-1)[:, None]
+            gates = jnp.max(probs, axis=-1)[:, None]
+        else:
+            gates, idx = jax.lax.top_k(probs, self.n_selected)
+            gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
+        return idx, gates, probs
+
+    def route_compact(self, tokens, capacity: int):
+        """Sort/gather Switch routing for (T, C) tokens — O(T·C), no one-hot.
+
+        Returns:
+            src: (E, capacity) int32 — the token filling each expert slot
+                (arbitrary where ``valid`` is False).
+            valid: (E, capacity) bool — slot actually occupied.
+            slot: (T, S) int32 — flat E*capacity slot index of each token's
+                k-th choice (clipped; mask with ``weight``).
+            weight: (T, S) f32 — router gate of the k-th choice, zeroed for
+                tokens dropped past capacity.
+            aux_loss: Switch load-balancing loss
+                E * sum_e(first_choice_fraction_e * mean_prob_e); 1.0 at
+                uniform.
+        """
+        t, e, s = tokens.shape[0], self.n_experts, self.n_selected
+        idx, gates, probs = self._top_k(tokens)
+
+        # Virtual tokens in choice-major order: sorting by
+        # expert * (S*T) + virtual_id groups slots per expert with every
+        # first choice (in arrival order) ahead of every second choice — the
+        # GShard priority rule (position_in_expert_2 offsets by count_1).
+        flat_expert = idx.T.reshape(-1)  # (S*T,)
+        order = jnp.argsort(flat_expert * (s * t)
+                            + jnp.arange(s * t, dtype=flat_expert.dtype))
+        counts = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+        start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+
+        r = jnp.arange(capacity, dtype=jnp.int32)
+        picked = order[jnp.clip(start[:, None] + r[None], 0, s * t - 1)]
+        valid = r[None, :] < jnp.minimum(counts, capacity)[:, None]
+        src = (picked % t).astype(jnp.int32)
+
+        # Token-side view: each virtual token's rank within its expert queue.
+        inv = jnp.argsort(order)  # position of each virtual token in the sort
+        rank = inv - start[flat_expert]
+        kept = rank < capacity
+        slot_flat = jnp.clip(flat_expert * capacity + rank, 0,
+                             e * capacity - 1).astype(jnp.int32)
+        slot = slot_flat.reshape(s, t).T
+        weight = jnp.where(kept.reshape(s, t).T, gates, 0.0)
+
+        first_frac = jnp.bincount(idx[:, 0], length=e) / t
+        aux_loss = e * jnp.sum(first_frac * jnp.mean(probs, axis=0))
+        return src, valid, slot, weight, aux_loss
+
     def route(self, tokens, capacity: int):
-        """Computes the Switch dispatch/combine tensors for (T, C) tokens.
+        """One-hot dispatch/combine view of :meth:`route_compact`.
 
         Returns:
             dispatch: (T, E, capacity) 0/1 — token t occupies slot c of
-                expert e. Tokens routed past ``capacity`` are dropped
-                (all-zero rows).
-            combine: (T, E, capacity) — dispatch scaled by the router
-                probability of the chosen expert.
-            aux_loss: Switch load-balancing loss
-                E * sum_e(fraction_routed_e * mean_prob_e); 1.0 at uniform.
+                expert e (dropped tokens: all-zero rows).
+            combine: dispatch scaled by the router gate of the choice that
+                filled each slot.
+            aux_loss: as in :meth:`route_compact`.
+
+        Kept for tests and debugging; the compute paths use the compact form
+        (the one-hot tensors are O(cf·T^2) to build and consume).
         """
-        e = self.n_experts
-        logits = self.gate(tokens)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        expert_idx = jnp.argmax(probs, axis=-1)
-        gate_val = jnp.max(probs, axis=-1)
+        t = tokens.shape[0]
+        src, valid, slot, weight, aux_loss = self.route_compact(tokens,
+                                                                capacity)
+        dispatch = jax.nn.one_hot(jnp.where(valid, src, t), t,
+                                  dtype=tokens.dtype, axis=0)  # (T, E, cap)
+        # Per-slot weight: scatter each token-choice's gate to its slot.
+        w_slot = jnp.zeros((self.n_experts * capacity,), jnp.float32)
+        w_slot = w_slot.at[slot.reshape(-1)].max(weight.reshape(-1))
+        combine = dispatch * w_slot.reshape(self.n_experts, capacity).astype(
+            tokens.dtype)
+        return dispatch, combine, aux_loss
 
-        onehot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # (T, E)
-        # 0-based arrival order of each token within its expert's queue.
-        position = jnp.cumsum(onehot, axis=0) * onehot - onehot
-        kept = onehot * (position < capacity)
-        slot = jax.nn.one_hot(position.sum(-1).astype(jnp.int32), capacity,
-                              dtype=jnp.float32)
-        dispatch = kept[:, :, None] * slot[:, None, :]
+    def dispatch_compact(self, tokens, src, valid):
+        """Gathers (T, C) tokens into (E, capacity, C) expert inputs."""
+        taken = jnp.take(tokens, src.reshape(-1), axis=0)
+        taken = taken.reshape(*src.shape, tokens.shape[-1])
+        return jnp.where(valid[..., None], taken, 0)
 
-        frac_routed = jnp.mean(onehot, axis=0)
-        mean_prob = jnp.mean(probs, axis=0)
-        aux_loss = e * jnp.sum(frac_routed * mean_prob)
-        combine = dispatch * gate_val[:, None, None]
-        return dispatch.astype(tokens.dtype), combine.astype(tokens.dtype), \
-            aux_loss
+    def combine_compact(self, out, slot, weight):
+        """Combines (E, capacity, C) expert outputs back to (T, C) tokens."""
+        picked = jnp.take(out.reshape(-1, out.shape[-1]), slot.reshape(-1),
+                          axis=0).reshape(*slot.shape, out.shape[-1])
+        return jnp.sum(picked * weight[..., None].astype(out.dtype), axis=1)
 
     def apply_experts(self, expert_in):
         """Runs the expert MLPs on (E_local, capacity, C) inputs; weights may
@@ -114,11 +194,8 @@ class SparseMoE(core.Module):
 
         Routing is per GROUP — one group per leading-axis element (per sample
         for (B, L, C) / (B, H, W, C) activations), the standard GShard
-        grouping. This keeps the dispatch/combine tensors at
-        (G, Tg, E, capacity) with capacity = cf * Tg / E: a GLOBAL route over
-        all B*L tokens would make them (T, E, cf*T/E) — quadratic in token
-        count (measured 12x slower than the dense MLP at ImageGPT bench
-        shapes before XLA even finishes rescuing the memory).
+        grouping: capacity = ceil(cf * Tg * n_selected / E) stays
+        proportional to the group's token count.
 
         Returns:
             (y, aux_loss): y has x's shape; add ``aux_loss`` (scaled by a
@@ -128,11 +205,13 @@ class SparseMoE(core.Module):
         shape = x.shape
         tokens = (x.reshape(shape[0], -1, shape[-1]) if x.ndim > 2
                   else x[None])  # (G, Tg, C)
-        capacity = capacity_for(tokens.shape[1], self.n_experts,
-                                self.capacity_factor)
-        dispatch, combine, aux_loss = jax.vmap(
-            lambda t: self.route(t, capacity))(tokens)
-        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, tokens)
-        out = jax.vmap(self.apply_experts)(expert_in)
-        y = jnp.einsum("gtec,gecd->gtd", combine, out)
+        capacity = capacity_for(tokens.shape[1] * self.n_selected,
+                                self.n_experts, self.capacity_factor)
+
+        def one_group(t):
+            src, valid, slot, weight, aux = self.route_compact(t, capacity)
+            out = self.apply_experts(self.dispatch_compact(t, src, valid))
+            return self.combine_compact(out, slot, weight), aux
+
+        y, aux_loss = jax.vmap(one_group)(tokens)
         return y.reshape(shape), aux_loss.mean()

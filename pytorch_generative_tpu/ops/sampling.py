@@ -566,16 +566,19 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None):
 
 
 def _moe_at(moe, tokens):
-    """Drop-free top-1 MoE on (n, C) tokens: run all experts, select."""
-    probs = jax.nn.softmax(moe.gate(tokens).astype(jnp.float32), axis=-1)
-    sel = jax.nn.one_hot(jnp.argmax(probs, axis=-1), moe.n_experts,
-                         dtype=tokens.dtype)
+    """Drop-free top-k MoE on (n, C) tokens: run all experts, select.
+
+    Gating matches nn/moe.py::SparseMoE._top_k (raw prob for top-1 Switch,
+    pair-normalized for top-2 GShard).
+    """
+    idx, gates, _ = moe._top_k(tokens)  # (n, S)
     hdn = jax.nn.gelu(
         jnp.einsum("nc,ech->neh", tokens, moe.w1) + moe.b1[None],
         approximate=False)
     outs = jnp.einsum("neh,ehd->ned", hdn, moe.w2) + moe.b2[None]
-    gate_val = jnp.max(probs, axis=-1).astype(tokens.dtype)
-    return jnp.einsum("ne,ned->nd", sel, outs) * gate_val[:, None]
+    sel = jax.nn.one_hot(idx, moe.n_experts, dtype=tokens.dtype)  # (n, S, E)
+    weights = jnp.einsum("nse,ns->ne", sel, gates.astype(tokens.dtype))
+    return jnp.einsum("ne,ned->nd", weights, outs)
 
 
 def image_gpt_moe_sample_fast(model, rng, n_samples=None, conditioned_on=None):

@@ -73,15 +73,16 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
     # Per-group (per local sample) routing, matching the dense path: capacity
     # scales with the group's token count, not the whole local batch.
     group_tokens = x.size // x.shape[-1] // x.shape[0]
-    capacity = capacity_for(group_tokens, n_experts, moe.capacity_factor)
+    capacity = capacity_for(group_tokens * moe.n_selected, n_experts,
+                            moe.capacity_factor)
 
     def shard_fn(router_p, expert_w, x_local):
         m = moe.replace(gate=router_p, **expert_w)
         tokens = x_local.reshape(x_local.shape[0], -1,
                                  x_local.shape[-1])  # (G, Tg, C)
-        dispatch, combine, aux = jax.vmap(
-            lambda t: m.route(t, capacity))(tokens)
-        expert_in = jnp.einsum("gtec,gtd->gecd", dispatch, tokens)
+        src, valid, slot, weight, aux = jax.vmap(
+            lambda t: m.route_compact(t, capacity))(tokens)
+        expert_in = jax.vmap(m.dispatch_compact)(tokens, src, valid)
         # (G, E, cap, C) -> (G, E/D, D*cap, C): deliver each expert's slots to
         # its owning device; receive every device's slots for our experts.
         expert_in = jax.lax.all_to_all(
@@ -89,7 +90,7 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
         out = jax.vmap(m.apply_experts)(expert_in)
         out = jax.lax.all_to_all(
             out, axis_name, split_axis=2, concat_axis=1, tiled=True)
-        y = jnp.einsum("gtec,gecd->gtd", combine, out)
+        y = jax.vmap(m.combine_compact)(out, slot, weight)
         return y.reshape(x_local.shape), jax.lax.pmean(aux.mean(), axis_name)
 
     expert_spec = {k: P(axis_name) for k in expert_leaves}

@@ -60,6 +60,98 @@ def test_sparse_moe_capacity_drops_tokens_to_zero():
     np.testing.assert_allclose(dropped, 0.0, atol=1e-7)
 
 
+def test_route_onehot_view_matches_compact():
+    """route() (one-hot dispatch/combine) and route_compact (sort/gather)
+    describe the same assignment: dispatching+combining through either path
+    produces identical outputs, including under capacity drops."""
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=4, capacity_factor=1.0)  # forces drops
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    cap = capacity_for(32, 4, 1.0)
+
+    dispatch, combine, aux_o = moe.route(tokens, cap)
+    src, valid, slot, weight, aux_c = moe.route_compact(tokens, cap)
+    np.testing.assert_allclose(float(aux_o), float(aux_c), rtol=1e-6)
+
+    expert_in_o = jnp.einsum("tec,td->ecd", dispatch, tokens)
+    expert_in_c = moe.dispatch_compact(tokens, src, valid)
+    np.testing.assert_allclose(np.asarray(expert_in_c),
+                               np.asarray(expert_in_o), atol=1e-6)
+
+    out = moe.apply_experts(expert_in_c)
+    y_o = jnp.einsum("tec,ecd->td", combine, out)
+    y_c = moe.combine_compact(out, slot, weight)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_o), atol=1e-5)
+
+
+def test_sparse_moe_top2_matches_manual():
+    """n_selected=2 with ample capacity: each token's output must equal the
+    pair-normalized gate-weighted sum of its two best experts' MLPs (the
+    GShard contract)."""
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=4, capacity_factor=4.0, n_selected=2)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    y, _ = moe(tokens)
+
+    probs = jax.nn.softmax(moe.gate(tokens), axis=-1)
+    want = []
+    for t in range(tokens.shape[0]):
+        p = np.asarray(probs[t])
+        e1, e2 = np.argsort(p)[::-1][:2]
+        g1, g2 = p[e1] / (p[e1] + p[e2]), p[e2] / (p[e1] + p[e2])
+        acc = 0.0
+        for e, g in ((e1, g1), (e2, g2)):
+            h = jax.nn.gelu(tokens[t] @ moe.w1[e] + moe.b1[e],
+                            approximate=False)
+            acc = acc + float(g) * (h @ moe.w2[e] + moe.b2[e])
+        want.append(acc)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(jnp.stack(want)),
+                               atol=1e-5)
+
+
+def test_sparse_moe_top2_second_choice_yields_to_first():
+    """GShard capacity priority: a token's SECOND choice is dropped before any
+    token's FIRST choice of the same expert, regardless of arrival order."""
+    moe = SparseMoE(jax.random.PRNGKey(3), n_channels=4, hidden_channels=8,
+                    n_experts=2, capacity_factor=1.0, n_selected=2)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (8, 4))
+    cap = capacity_for(8 * 2, 2, 1.0)  # 8 slots per expert, 16 virtual tokens
+    src, valid, slot, weight, _ = moe.route_compact(tokens, cap)
+    idx, _, _ = moe._top_k(tokens)
+    # Every first choice must be kept (8 slots >= 8 first choices per expert
+    # at most): weight[:, 0] > 0 for all tokens.
+    assert (np.asarray(weight[:, 0]) > 0).all()
+
+
+def test_image_gpt_moe_top2_forward_and_causal():
+    model = models.ImageGPTMoE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=8,
+        n_transformer_blocks=2, n_attention_heads=2, n_embedding_channels=8,
+        n_experts=4, n_selected=2, in_shape=(8, 8, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 8, 8, 1))
+    logits, aux = model.forward(x)
+    assert logits.shape == (1, 8, 8, 1) and np.isfinite(float(aux))
+
+    def logit_at(x, i):
+        out, _ = model.forward(x)
+        return out.reshape(-1)[i]
+
+    g = jax.grad(lambda x: logit_at(x, 9))(x).reshape(-1)
+    assert float(jnp.abs(g[9:]).sum()) == 0.0
+    assert float(jnp.abs(g[:9]).sum()) > 0.0
+
+
+def test_image_gpt_moe_top2_fast_sampler_matches_naive():
+    model = models.ImageGPTMoE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=6,
+        n_transformer_blocks=2, n_attention_heads=2, n_embedding_channels=8,
+        n_experts=4, capacity_factor=4.0, n_selected=2, in_shape=(6, 6, 1))
+    rng = jax.random.PRNGKey(7)
+    fast = model.sample(rng, n_samples=3)
+    naive = model.sample_naive(rng, n_samples=3)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(naive))
+
+
 def test_sparse_moe_gradients_flow():
     moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
                     n_experts=2, capacity_factor=2.0)
@@ -98,6 +190,18 @@ def test_expert_parallel_matches_dense():
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
                                atol=1e-5)
     assert np.isfinite(float(aux_ep))
+
+
+@needs_mesh
+def test_expert_parallel_top2_matches_dense():
+    mesh8 = parallel.make_mesh(8, axis_name="expert")
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=16, hidden_channels=32,
+                    n_experts=8, capacity_factor=8.0, n_selected=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 16))
+    y_dense, _ = moe(x)
+    y_ep, _ = parallel.moe_forward_expert_parallel(moe, x, mesh8)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
+                               atol=1e-5)
 
 
 @needs_mesh
