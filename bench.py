@@ -282,6 +282,7 @@ def main():
     _emit("imagegpt_train_throughput_bf16", sps_bf16, "samples/sec",
           train_base, mfu=round(sps_bf16 * flops / V5E_BF16_PEAK_FLOPS, 4))
 
+    moe_sps = None
     try:
         if fast:
             raise _BudgetExceeded  # skip all optional sections
@@ -332,8 +333,19 @@ def main():
 
         check_budget("samplers")
         # --- Fast samplers (reproduce() configs, n=16 like the reference).
+        # n=16 decodes through the fused Pallas step (ops/decode_pallas.py).
         sps = bench_sampler(lambda: _make_imagegpt(0), 16)
         _emit("imagegpt_sample_throughput", sps, "images/sec", sample_base)
+
+        # bf16 K|V cache ablation: the fused decode is cache-DMA-bound, so
+        # halving cache bytes buys throughput at ~1e-2 logit quantization.
+        os.environ["PGT_DECODE_CACHE_DTYPE"] = "bfloat16"
+        try:
+            sps = bench_sampler(lambda: _make_imagegpt(0), 16)
+            _emit("imagegpt_sample_throughput_bf16cache", sps, "images/sec",
+                  sample_base)
+        finally:
+            del os.environ["PGT_DECODE_CACHE_DTYPE"]
 
         # Larger sample batches amortize the 784-step scan (latency-bound at
         # n=16, ~0.7ms/pixel-step of kernel-dispatch floor); report the
@@ -558,8 +570,11 @@ def main():
               base.get("reference_vd_vae_cpu_train_samples_per_sec"))
 
         check_budget("imagegpt_moe")
-        # --- ImageGPT-MoE: sparse-MLP flagship variant (8 experts, top-1
-        # Switch routing as one-hot einsums). No reference counterpart.
+        # --- ImageGPT-MoE: sparse-MLP flagship variant (8 experts, sort/
+        # gather Switch routing). No reference counterpart. With top-1
+        # routing and expert hidden width 4C the ACTIVE FLOPs per token match
+        # dense ImageGPT's MLPs exactly (one 4C MLP each), so the dense-ratio
+        # emitted with the headline is an at-matched-active-FLOPs comparison.
         moe = models.ImageGPTMoE(
             jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
             n_transformer_blocks=8, n_attention_heads=2,
@@ -574,15 +589,18 @@ def main():
 
         xm = jnp.asarray((np.random.default_rng(4).random(
             (64, 28, 28, 1)) < 0.13).astype(np.float32))
-        sps = bench_train_generic(moe, moe_loss, xm, max(n_steps // 2, chunk),
-                                  chunk, lr=5e-3)
-        _emit("imagegpt_moe_train_throughput", sps, "samples/sec", None)
+        moe_sps = bench_train_generic(moe, moe_loss, xm,
+                                      max(n_steps // 2, chunk), chunk, lr=5e-3)
+        _emit("imagegpt_moe_train_throughput", moe_sps, "samples/sec", None)
 
     except _BudgetExceeded:
         pass
 
     # --- Headline LAST: f32 reproduce()-config training throughput. ---
     sps = bench_train(_make_imagegpt(0), batch_size, n_steps, chunk)
+    if moe_sps is not None:
+        _emit("imagegpt_moe_vs_dense_ratio", round(moe_sps / sps, 4),
+              "ratio", None)
     _emit("imagegpt_train_throughput", sps, "samples/sec", train_base,
           mfu=round(sps * flops / V5E_F32_PEAK_FLOPS, 4),
           flops_per_sample=flops)

@@ -1,0 +1,246 @@
+"""Fused per-pixel decode step for the ImageGPT sampler (Pallas).
+
+The KV-cache sampler (ops/sampling.py) is op-count-bound at small sample
+batches: each raster position runs ~25 tiny XLA ops per transformer block
+(LayerNorm, qkv matmul, cached attention, MLP) and every op carries a ~1-2 us
+fixed cost on v5e, so the n=16 sample grid decodes at ~380 us/pixel while the
+arithmetic is microseconds. This kernel runs the ENTIRE block stack for one
+position in a single Pallas call: weights stay VMEM-resident across blocks,
+heads are static in-kernel loops, and the only XLA ops left per pixel are the
+masked input conv, one fused cache write, the output head, and the sampling
+draw.
+
+Numerics match the XLA fast path to float tolerance (not bitwise — MXU/VPU
+op ordering differs), so the Pallas step is used on TPU where it is fastest
+and the XLA path remains the default under exact-equivalence tests; parity is
+tested per step against the XLA block stack (tests/test_sampling.py).
+
+Cache layout: one packed (n_blocks, N, L, H*d_k + H*d_v) array — k and v
+concatenated on the feature axis so the feature width is 128 lanes at the
+reference config (2 heads x 32 + 2 heads x 32), one DMA per step, one
+dynamic_update_slice write per step.
+
+Reference parity target: the per-pixel step of
+/root/reference/pytorch_generative/models/autoregressive/image_gpt.py:86-109
+(sampling contract models/base.py:97-120).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+
+
+def _ln(x, w, b, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def _erf(x):
+    """erf to 1.5e-7 abs error (Abramowitz & Stegun 7.1.26).
+
+    Mosaic has no erf/erfc lowering, so exact GELU inside the kernel uses
+    this rational-exponential approximation; the fused sampler therefore
+    matches the XLA decode path to ~1e-6 on logits (not bitwise), which the
+    module docstring's tolerance contract covers.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + p * z)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
+def _gelu_exact(x):
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _step_kernel(i_ref, x_ref, kv_cache_ref, ln1_w, ln1_b, qkv_w, qkv_b,
+                 out_w, out_b, ln2_w, ln2_b, mlp1_w, mlp1_b, mlp2_w, mlp2_b,
+                 lnf_w, lnf_b, act_ref, kv_new_ref, x_state, *, n_heads,
+                 d_k, d_v, window):
+    """One raster position through ONE transformer block (grid = blocks).
+
+    The grid iterates over blocks so Pallas double-buffers the per-block
+    cache/weight DMAs — block b's compute overlaps block b+1's cache fetch,
+    which matters because the step is cache-DMA-bound. The running
+    activations persist across grid steps in the ``x_state`` VMEM scratch.
+
+    i_ref: SMEM (1,) current global position; kv_cache_ref carries the first
+    ``window`` positions of this block's packed K|V cache. Positions >= i
+    are stale — past keys are masked with pos < i and the current position's
+    k/v enter the softmax as an explicitly appended column.
+    """
+    b = pl.program_id(0)
+    i = i_ref[0]
+
+    @pl.when(b == 0)
+    def _init():
+        x_state[:] = x_ref[:]
+
+    x = x_state[:]
+    c_k = n_heads * d_k
+    scale = 1.0 / (d_k ** 0.5)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1)
+    past = pos < i  # (1, window), broadcasts over rows
+
+    t = _ln(x, ln1_w[0], ln1_b[0])
+    qkv = jnp.dot(t, qkv_w[0], preferred_element_type=jnp.float32) \
+        + qkv_b[0]
+    q = qkv[:, :c_k]
+    kv_i = qkv[:, c_k:]
+    kv_new_ref[0] = kv_i.astype(kv_new_ref.dtype)
+
+    head_outs = []
+    for h in range(n_heads):
+        qh = q[:, h * d_k:(h + 1) * d_k] * scale          # (n, d_k)
+        kh_i = kv_i[:, h * d_k:(h + 1) * d_k]
+        vh_i = kv_i[:, c_k + h * d_v:c_k + (h + 1) * d_v]
+        kh = kv_cache_ref[0, :, :, h * d_k:(h + 1) * d_k].astype(
+            jnp.float32)                                   # (n, win, dk)
+        vh = kv_cache_ref[0, :, :,
+                          c_k + h * d_v:c_k + (h + 1) * d_v].astype(
+            jnp.float32)
+
+        s_past = jnp.sum(qh[:, None, :] * kh, axis=-1)     # (n, win)
+        s_past = jnp.where(past, s_past, _NEG_INF)
+        s_self = jnp.sum(qh * kh_i, axis=-1)               # (n,)
+
+        m = jnp.maximum(jnp.max(s_past, axis=-1), s_self)
+        e_past = jnp.exp(s_past - m[:, None])              # 0 where masked
+        e_self = jnp.exp(s_self - m)
+        denom = jnp.sum(e_past, axis=-1) + e_self
+        num = (jnp.sum(e_past[:, :, None] * vh, axis=1)
+               + e_self[:, None] * vh_i)                   # (n, d_v)
+        head_outs.append(num / denom[:, None])
+
+    attn = jnp.concatenate(head_outs, axis=-1)
+    attn = jnp.dot(attn, out_w[0], preferred_element_type=jnp.float32) \
+        + out_b[0]
+    x1 = x + attn
+    tt = _ln(x1, ln2_w[0], ln2_b[0])
+    hmid = _gelu_exact(
+        jnp.dot(tt, mlp1_w[0], preferred_element_type=jnp.float32)
+        + mlp1_b[0])
+    mout = jnp.dot(hmid, mlp2_w[0], preferred_element_type=jnp.float32) \
+        + mlp2_b[0]
+    # Block residual + model-level extra skip: x = x + (x1 + mlp(x1)).
+    x = x + (x1 + mout)
+    x_state[:] = x
+    # Constant-index output blocks are copied out after every grid step, so
+    # keep act_ref defined on each; the final block's write is the result.
+    act_ref[:] = _ln(x, lnf_w[0], lnf_b[0])
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "d_k", "d_v",
+                                             "window", "interpret"))
+def fused_decode_step(i, x, kv_cache, weights, n_heads, d_k, d_v, window,
+                      interpret=False):
+    """Runs the whole ImageGPT block stack for one raster position.
+
+    Args:
+        i: scalar int32 — current global position.
+        x: (N, C) input activations (masked input conv + positional).
+        kv_cache: (n_blocks, N, L, H*d_k + H*d_v) packed K|V cache.
+        weights: dict of stacked per-block parameters (see
+            ``stack_image_gpt_weights``).
+        window: static — how many leading cache positions the kernel may
+            read (i < window).
+    Returns:
+        act: (N, C) final pre-head activations (after the model-level LN).
+        kv_new: (n_blocks, N, H*d_k + H*d_v) — this position's k|v per
+            block, for the caller to write into the cache at position i.
+    """
+    n_blocks, n, l, f = kv_cache.shape
+    c = x.shape[-1]
+    kernel = functools.partial(
+        _step_kernel, n_heads=n_heads, d_k=d_k, d_v=d_v, window=window)
+    w_order = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b",
+               "ln2_w", "ln2_b", "mlp1_w", "mlp1_b", "mlp2_w", "mlp2_b",
+               "lnf_w", "lnf_b")
+
+    def per_block_spec(shape):
+        # (B, ...) stacked weight -> (1, ...) block for grid step b.
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape[1:],
+                            lambda b, *_, nd=nd: (b,) + (0,) * (nd - 1))
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *_, nd=nd: (0,) * nd)
+
+    in_specs = [
+        const_spec((n, c)),
+        pl.BlockSpec((1, n, window, f), lambda b, *_: (b, 0, 0, 0)),
+    ] + [const_spec(weights[k].shape) if k.startswith("lnf")
+         else per_block_spec(weights[k].shape) for k in w_order]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            const_spec((n, c)),
+            pl.BlockSpec((1, n, f), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, c), jnp.float32)],
+    )
+    # Two cache blocks resident (double buffering) + weights + headroom.
+    block_bytes = n * window * f * kv_cache.dtype.itemsize
+    act, kv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, c), jnp.float32),
+                   jax.ShapeDtypeStruct((n_blocks, n, f), kv_cache.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * block_bytes + 32 * 1024 * 1024,
+                                 120 * 1024 * 1024)),
+        interpret=interpret,
+    )(jnp.asarray([i], jnp.int32), x, kv_cache,
+      *[weights[k] for k in w_order])
+    return act, kv_new
+
+
+def stack_image_gpt_weights(model):
+    """Stacks an ImageGPT's per-block parameters for the fused step kernel."""
+    blocks = model.blocks
+    qkv_w = jnp.stack([
+        jnp.concatenate([blk.attn.q_proj.weight[0, 0],
+                         blk.attn.kv_proj.weight[0, 0]], axis=-1)
+        for blk in blocks])
+    qkv_b = jnp.stack([
+        jnp.concatenate([blk.attn.q_proj.bias, blk.attn.kv_proj.bias])
+        for blk in blocks])
+
+    def stack_vec(vecs):
+        # (B, 1, C): the singleton middle axis makes the per-block (1, 1, C)
+        # BlockSpec legal (Mosaic wants last-two block dims divisible by
+        # (8, 128) or equal to the array dims) and broadcasts in-kernel.
+        return jnp.stack(list(vecs))[:, None, :]
+
+    return {
+        "ln1_w": stack_vec(blk.ln1.scale for blk in blocks),
+        "ln1_b": stack_vec(blk.ln1.offset for blk in blocks),
+        "qkv_w": qkv_w,
+        "qkv_b": qkv_b[:, None, :],
+        "out_w": jnp.stack([blk.attn.out_proj.weight[0, 0]
+                            for blk in blocks]),
+        "out_b": stack_vec(blk.attn.out_proj.bias for blk in blocks),
+        "ln2_w": stack_vec(blk.ln2.scale for blk in blocks),
+        "ln2_b": stack_vec(blk.ln2.offset for blk in blocks),
+        "mlp1_w": jnp.stack([blk.mlp_conv1.weight[0, 0] for blk in blocks]),
+        "mlp1_b": stack_vec(blk.mlp_conv1.bias for blk in blocks),
+        "mlp2_w": jnp.stack([blk.mlp_conv2.weight[0, 0] for blk in blocks]),
+        "mlp2_b": stack_vec(blk.mlp_conv2.bias for blk in blocks),
+        "lnf_w": model.ln.scale[None, None, :],
+        "lnf_b": model.ln.offset[None, None, :],
+    }

@@ -125,3 +125,72 @@ def test_image_gpt_fast_sampler_inpainting():
     # Observed rows are untouched; generated rows match the naive sampler.
     np.testing.assert_allclose(np.asarray(fast[:, :2]), np.asarray(batch[:, :2]))
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), atol=1e-5)
+
+
+# --- Fused Pallas decode step (ops/decode_pallas.py) ---
+
+
+def test_fused_decode_step_matches_block_stack():
+    """The single-kernel per-pixel step reproduces the model's own per-
+    position activations given the true K/V caches (interpret mode)."""
+    from pytorch_generative_tpu.ops import decode_pallas as dp
+
+    m = models.ImageGPT(
+        KEY, in_channels=1, out_channels=1, in_size=8, n_transformer_blocks=3,
+        n_attention_heads=2, n_embedding_channels=32, in_shape=(8, 8, 1))
+    x = jnp.asarray(np.random.default_rng(0).random((4, 8, 8, 1)),
+                    jnp.float32)
+    h0 = m.input_conv(x + m.pos)
+    n, h, w, c = h0.shape
+    seq = h0.reshape(n, h * w, c)
+
+    caches, t = [], seq
+    for blk in m.blocks:
+        ln1 = blk.ln1(t)
+        kv = ln1 @ blk.attn.kv_proj.weight[0, 0] + blk.attn.kv_proj.bias
+        caches.append(kv)
+        u = t + blk.attn(ln1)
+        mlp = blk.mlp_conv2(jax.nn.gelu(blk.mlp_conv1(blk.ln2(u)),
+                                        approximate=False))
+        t = t + (u + mlp)
+    ref_act = m.ln(t)
+
+    weights = dp.stack_image_gpt_weights(m)
+    kv_cache = jnp.stack(caches)
+    heads = m.blocks[0].attn.n_heads
+    d_k = m.blocks[0].attn.embed_channels // heads
+    d_v = m.blocks[0].attn.out_channels // heads
+    for i in (0, 5, 37):
+        act, kv_new = dp.fused_decode_step(
+            jnp.int32(i), seq[:, i, :], kv_cache, weights, heads, d_k, d_v,
+            window=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(act),
+                                   np.asarray(ref_act[:, i, :]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(kv_new),
+                                   np.asarray(kv_cache[:, :, i, :]),
+                                   atol=1e-4)
+
+
+def test_fused_decode_sampler_matches_xla_path():
+    """Full fused decode (interpret mode) == the XLA fast path, samples and
+    inpainting — deterministic on fixed seeds."""
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    m = models.ImageGPT(
+        KEY, in_channels=1, out_channels=1, in_size=8, n_transformer_blocks=3,
+        n_attention_heads=2, n_embedding_channels=32, in_shape=(8, 8, 1))
+    rng = jax.random.PRNGKey(7)
+    xla = sampling_ops.image_gpt_sample_fast(m, rng, n_samples=4,
+                                             use_fused_step=False)
+    fused = sampling_ops._image_gpt_decode_fused(m, rng, 4, None,
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(xla))
+
+    cond = -jnp.ones((2, 8, 8, 1))
+    cond = cond.at[:, :4].set(1.0)
+    a = sampling_ops.image_gpt_sample_fast(m, rng, conditioned_on=cond,
+                                           use_fused_step=False)
+    b = sampling_ops._image_gpt_decode_fused(m, rng, None, cond,
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(b[:, :4]), 1.0)
