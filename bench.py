@@ -331,6 +331,21 @@ def main():
               mfu=round(sps_large * flops_large / V5E_BF16_PEAK_FLOPS, 4),
               flops_per_sample=flops_large)
 
+        check_budget("production-scale config, d_k=128")
+        # --- Same C=512 / identical FLOPs, but TPU-native head sizing:
+        # 4 heads of d_k=128. d_k=64 feeds only a quarter of the MXU's
+        # 256-deep bf16 contraction on every QK^T tile (and half its 128
+        # lanes on AV), which structurally caps the attention kernels; a
+        # 128-wide head matches the MXU exactly. This is the head sizing a
+        # TPU deployment should pick (PERF.md).
+        large4 = _make_imagegpt(0, n_channels=512, n_heads=4)
+        sps_large4 = bench_train(large4, batch_size, max(n_steps // 2, chunk),
+                                 chunk, compute_dtype=jnp.bfloat16)
+        _emit("imagegpt_large_dk128_train_throughput_bf16", sps_large4,
+              "samples/sec", None, n_channels=512, n_heads=4,
+              mfu=round(sps_large4 * flops_large / V5E_BF16_PEAK_FLOPS, 4),
+              flops_per_sample=flops_large)
+
         check_budget("samplers")
         # --- Fast samplers (reproduce() configs, n=16 like the reference).
         # n=16 decodes through the fused Pallas step (ops/decode_pallas.py).

@@ -32,8 +32,11 @@ class TransformerBlock(core.Module):
     attn: CausalAttention
     mlp_conv1: Conv2d
     mlp_conv2: Conv2d
+    use_fused_mlp: bool = core.static_field()
 
     def __init__(self, key, n_channels: int, n_attention_heads: int):
+        import os
+
         k1, k2, k3 = jax.random.split(key, 3)
         self.ln1 = ChannelLayerNorm(n_channels)
         self.ln2 = ChannelLayerNorm(n_channels)
@@ -42,9 +45,30 @@ class TransformerBlock(core.Module):
             embed_channels=n_channels, out_channels=n_channels)
         self.mlp_conv1 = Conv2d(k2, n_channels, 4 * n_channels, 1)
         self.mlp_conv2 = Conv2d(k3, 4 * n_channels, n_channels, 1)
+        # Fused LN2+MLP+residual Pallas kernel (ops/mlp_pallas.py): one pass
+        # over row blocks instead of XLA materializing the (R, 4C)
+        # pre-activation + GELU (+ their backward temps) in HBM. Opt-in
+        # (PGT_FUSED_MLP=1): measured at C=512/bs=64 the kernel exactly
+        # matches XLA's fused composition (fwd 76% / bwd ~70% MXU-efficient,
+        # 13.2 ms vs 13.2 ms standalone; 559 vs 569 samples/s end-to-end) —
+        # XLA already keeps this position-wise block fusion-optimal, so the
+        # honest default is off. It still wins on *memory*: only x (+ the
+        # bf16 pre-activation) is saved for backward, no (R, 4C) GELU
+        # output, which matters for long-sequence configs.
+        self.use_fused_mlp = (jax.default_backend() == "tpu"
+                              and n_channels % 128 == 0
+                              and os.environ.get("PGT_FUSED_MLP") == "1")
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
+        if self.use_fused_mlp:
+            from pytorch_generative_tpu.ops.mlp_pallas import ln_mlp_residual
+
+            return ln_mlp_residual(
+                x, self.ln2.scale, self.ln2.offset,
+                self.mlp_conv1.weight[0, 0], self.mlp_conv1.bias,
+                self.mlp_conv2.weight[0, 0], self.mlp_conv2.bias,
+                self.ln2.eps)
         h = self.mlp_conv2(jax.nn.gelu(self.mlp_conv1(self.ln2(x)), approximate=False))
         return x + h
 

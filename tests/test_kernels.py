@@ -168,3 +168,97 @@ def test_flash_packed_awkward_shapes(l, n_heads, hd):
         ap.causal_attention_packed(q, k, v, True, n_heads) ** 2))(q)
     gw = jax.grad(lambda q: jnp.sum(ref(q) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gw), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + GELU-MLP + residual kernel (ops/mlp_pallas.py)
+# ---------------------------------------------------------------------------
+
+from pytorch_generative_tpu.ops import mlp_pallas  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mlp(monkeypatch):
+    monkeypatch.setattr(mlp_pallas, "_INTERPRET", True)
+
+
+def _mlp_args(r_shape, c, f, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((*r_shape, c)), dtype)
+    gamma = jnp.asarray(rng.standard_normal((c,)), dtype)
+    beta = jnp.asarray(rng.standard_normal((c,)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((c, f)) * 0.1, dtype)
+    b1 = jnp.asarray(rng.standard_normal((f,)), dtype)
+    w2 = jnp.asarray(rng.standard_normal((f, c)) * 0.1, dtype)
+    b2 = jnp.asarray(rng.standard_normal((c,)), dtype)
+    return x, gamma, beta, w1, b1, w2, b2
+
+
+def _mlp_ref(x, gamma, beta, w1, b1, w2, b2, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
+    h = jax.nn.gelu(ln @ w1.astype(jnp.float32) + b1, approximate=False)
+    return (xf + h @ w2.astype(jnp.float32) + b2).astype(x.dtype)
+
+
+@pytest.mark.parametrize("r_shape", [(2, 24), (3, 7, 8), (40,)])
+def test_fused_ln_mlp_forward_matches_reference(r_shape):
+    args = _mlp_args(r_shape, c=64, f=256)
+    got = mlp_pallas.ln_mlp_residual(*args)
+    want = _mlp_ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("save_preact", [False, True])
+@pytest.mark.parametrize("r_shape", [(2, 24), (2, 25)])  # 50 rows: pad path
+def test_fused_ln_mlp_gradients_match_reference(r_shape, save_preact,
+                                                monkeypatch):
+    monkeypatch.setattr(mlp_pallas, "_SAVE_PREACT", save_preact)
+    args = _mlp_args(r_shape, c=64, f=256, seed=1)
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(mlp_pallas.ln_mlp_residual(*a)))
+
+    def loss_r(*a):
+        return jnp.sum(jnp.sin(_mlp_ref(*a)))
+
+    gk = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, got, want in zip(names, gk, gr):
+        scale = max(float(jnp.max(jnp.abs(want))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5 * scale,
+            err_msg=f"{name} mismatch")
+
+
+def test_fused_ln_mlp_bf16_close_to_f32_reference():
+    args32 = _mlp_args((2, 24), c=128, f=512, seed=2)
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
+    got = mlp_pallas.ln_mlp_residual(*args16).astype(jnp.float32)
+    want = _mlp_ref(*args32)
+    # bf16 operands / f32 accumulation: tolerance is set by the bf16 inputs.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0.15, rtol=0.05)
+
+
+def test_image_gpt_block_fused_path_matches_unfused():
+    """The TransformerBlock's fused gate must be a pure perf switch."""
+    from pytorch_generative_tpu.models.autoregressive.image_gpt import (
+        TransformerBlock,
+    )
+
+    import copy
+
+    block = TransformerBlock(jax.random.PRNGKey(0), n_channels=128,
+                             n_attention_heads=2)
+    assert not block.use_fused_mlp  # gate must be off on CPU
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 16, 128)),
+                    jnp.float32)
+    want = block(x)
+    fused = copy.copy(block)
+    object.__setattr__(fused, "use_fused_mlp", True)
+    got = fused(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
