@@ -304,10 +304,10 @@ def main():
               mfu=round(sps_big * flops / V5E_BF16_PEAK_FLOPS, 4))
 
         # Same effective batch as 8 scanned 64-microbatches (identical math,
-        # Trainer(grad_accumulation=8)): each microbatch keeps the layouts
-        # XLA picks at batch 64, side-stepping the batch-minor layout copies
-        # it inserts around the attention kernels at batch 512 (profile-
-        # measured: 3342 -> 4096 samples/s).
+        # Trainer(grad_accumulation=8)): each microbatch keeps a VMEM-sized
+        # working set, so the non-attention ops stream from VMEM instead of
+        # HBM — the root cause of the direct-bs512 gap (PERF.md "Large
+        # batches"; profile-measured: 3342 -> 4096 samples/s).
         sps_acc = bench_train(_make_imagegpt(0), big_bs,
                               max(n_steps // 2, chunk), chunk,
                               compute_dtype=jnp.bfloat16,

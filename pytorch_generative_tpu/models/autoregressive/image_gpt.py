@@ -24,6 +24,16 @@ from pytorch_generative_tpu.nn import (
 )
 
 
+def _fused_kernels_default(n_channels: int) -> bool:
+    """Whether the fused LN/MLP Pallas kernels should run (see
+    TransformerBlock.__init__ for the measurements behind the gate)."""
+    import os
+
+    env = os.environ.get("PGT_FUSED_MLP")
+    want = n_channels % 128 == 0 if env is None else env == "1"
+    return want and jax.default_backend() == "tpu"
+
+
 class TransformerBlock(core.Module):
     """An ImageGPT Transformer block (pre-LN attention + 4x GELU MLP)."""
 
@@ -35,29 +45,27 @@ class TransformerBlock(core.Module):
     use_fused_mlp: bool = core.static_field()
 
     def __init__(self, key, n_channels: int, n_attention_heads: int):
-        import os
-
         k1, k2, k3 = jax.random.split(key, 3)
-        self.ln1 = ChannelLayerNorm(n_channels)
+        # Fused LN2+MLP+residual Pallas kernel (ops/mlp_pallas.py): one pass
+        # over row blocks instead of XLA materializing the (R, 4C)
+        # pre-activation + GELU (+ their backward temps) in HBM — and, with
+        # ln1 fused too (ops/ln_pallas.py), the whole block body is custom
+        # calls so XLA has no layout freedom left between them. Default ON
+        # where measured to win on v5e (C % 128 == 0, full lanes): C=512
+        # bf16 bs64 675->698 samples/s (d_k=128) / 562->578 (d_k=64).
+        # At C=64 the kernels LOSE (half-empty lanes + boundary copies:
+        # 3301->3283 fused-MLP-only, ->2600 with fused LN), hence the gate.
+        # PGT_FUSED_MLP=1/0 forces it either way. The kernel also wins on
+        # *memory*: only x (+ the bf16 pre-activation) is saved for
+        # backward, no (R, 4C) GELU output — matters at long sequence.
+        self.use_fused_mlp = _fused_kernels_default(n_channels)
+        self.ln1 = ChannelLayerNorm(n_channels, fused=self.use_fused_mlp)
         self.ln2 = ChannelLayerNorm(n_channels)
         self.attn = CausalAttention(
             k1, in_channels=n_channels, n_heads=n_attention_heads,
             embed_channels=n_channels, out_channels=n_channels)
         self.mlp_conv1 = Conv2d(k2, n_channels, 4 * n_channels, 1)
         self.mlp_conv2 = Conv2d(k3, 4 * n_channels, n_channels, 1)
-        # Fused LN2+MLP+residual Pallas kernel (ops/mlp_pallas.py): one pass
-        # over row blocks instead of XLA materializing the (R, 4C)
-        # pre-activation + GELU (+ their backward temps) in HBM. Opt-in
-        # (PGT_FUSED_MLP=1): measured at C=512/bs=64 the kernel exactly
-        # matches XLA's fused composition (fwd 76% / bwd ~70% MXU-efficient,
-        # 13.2 ms vs 13.2 ms standalone; 559 vs 569 samples/s end-to-end) —
-        # XLA already keeps this position-wise block fusion-optimal, so the
-        # honest default is off. It still wins on *memory*: only x (+ the
-        # bf16 pre-activation) is saved for backward, no (R, 4C) GELU
-        # output, which matters for long-sequence configs.
-        self.use_fused_mlp = (jax.default_backend() == "tpu"
-                              and n_channels % 128 == 0
-                              and os.environ.get("PGT_FUSED_MLP") == "1")
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
@@ -114,7 +122,9 @@ class ImageGPT(base.AutoregressiveModel):
         self.blocks = tuple(
             TransformerBlock(keys[1 + i], n_embedding_channels, n_attention_heads)
             for i in range(n_transformer_blocks))
-        self.ln = ChannelLayerNorm(n_embedding_channels)
+        self.ln = ChannelLayerNorm(
+            n_embedding_channels,
+            fused=_fused_kernels_default(n_embedding_channels))
         self.out_conv = Conv2d(keys[-1], n_embedding_channels, out_channels, 1)
         self.remat = remat
 

@@ -21,6 +21,22 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def _use_fused_ln(x, fused):
+    """Route LayerNorm through the Pallas kernel (ops/ln_pallas.py).
+
+    Off unless the layer was constructed with fused=True (models opt in
+    where it's measured to win — see ChannelLayerNorm docstring); PGT_FUSED_LN
+    forces it ("1" on / "0" off) for experiments. Only worth a kernel launch
+    on TPU with enough rows (per-pixel decode slices stay on the jnp path)."""
+    import os
+
+    env = os.environ.get("PGT_FUSED_LN")
+    want = fused if env is None else env == "1"
+    rows = x.size // x.shape[-1] if x.shape[-1] else 0
+    return (want and jax.default_backend() == "tpu"
+            and rows >= 1024 and x.shape[-1] >= 8)
+
+
 class Conv2d(core.Module):
     """2-D convolution over NHWC inputs with HWIO weights, torch default init."""
 
@@ -169,18 +185,32 @@ class ChannelLayerNorm(core.Module):
     In the TPU-native NHWC layout this needs no permutes — the reference's
     NCHWLayerNorm (/root/reference/pytorch_generative/nn/convolution.py:69-75)
     permutes NCHW->NHWC and back around a torch LayerNorm.
+
+    ``fused=True`` routes TPU execution through the single-pass Pallas kernel
+    (ops/ln_pallas.py). Not a default: a standalone LN kernel is an XLA fusion
+    barrier, so it only wins when its neighbors are already custom calls —
+    measured on v5e ImageGPT bf16 bs64: C=512 alongside the fused MLP kernel
+    675->698 samples/s (H=4) / 562->578 (H=8), but *alone* 675->629, and at
+    C=64 (half-empty lanes) 3301->2600. Models set it where it wins.
     """
 
     scale: jax.Array
     offset: jax.Array
     eps: float = core.static_field()
+    fused: bool = core.static_field()
 
-    def __init__(self, n_channels: int, eps: float = 1e-5):
+    def __init__(self, n_channels: int, eps: float = 1e-5,
+                 fused: bool = False):
         self.scale = jnp.ones((n_channels,), jnp.float32)
         self.offset = jnp.zeros((n_channels,), jnp.float32)
         self.eps = eps
+        self.fused = fused
 
     def __call__(self, x):
+        if _use_fused_ln(x, self.fused):
+            from pytorch_generative_tpu.ops.ln_pallas import channel_layernorm
+
+            return channel_layernorm(x, self.scale, self.offset, self.eps)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)

@@ -262,3 +262,63 @@ def test_image_gpt_block_fused_path_matches_unfused():
     object.__setattr__(fused, "use_fused_mlp", True)
     got = fused(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+
+from pytorch_generative_tpu.ops import ln_pallas  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_ln(monkeypatch):
+    monkeypatch.setattr(ln_pallas, "_INTERPRET", True)
+
+
+def _ln_args(r_shape, c, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    return (jnp.asarray(rng.standard_normal((*r_shape, c)), dtype),
+            jnp.asarray(rng.standard_normal((c,)), dtype),
+            jnp.asarray(rng.standard_normal((c,)), dtype))
+
+
+def _ln_ref(x, gamma, beta, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.var(xf, -1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(
+        x.dtype)
+
+
+@pytest.mark.parametrize("r_shape", [(2, 24), (3, 7, 8), (50,)])  # 50: pad
+def test_pallas_ln_forward_matches_reference(r_shape):
+    args = _ln_args(r_shape, c=64)
+    got = ln_pallas.channel_layernorm(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_ln_ref(*args)),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("r_shape", [(2, 24), (2, 25)])
+def test_pallas_ln_gradients_match_reference(r_shape):
+    args = _ln_args(r_shape, c=32, seed=1)
+
+    def loss_k(*a):
+        return jnp.sum(jnp.sin(ln_pallas.channel_layernorm(*a)))
+
+    def loss_r(*a):
+        return jnp.sum(jnp.sin(_ln_ref(*a)))
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(*args)
+    for name, got, want in zip(["dx", "dgamma", "dbeta"], gk, gr):
+        scale = max(float(jnp.max(jnp.abs(want))), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5 * scale,
+            err_msg=f"{name} mismatch")
+
+
+def test_pallas_ln_bf16_close_to_f32_reference():
+    args32 = _ln_args((4, 24), c=128, seed=2)
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
+    got = ln_pallas.channel_layernorm(*args16).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_ln_ref(*args32)),
+                               atol=0.1, rtol=0.05)

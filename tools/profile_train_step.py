@@ -108,6 +108,8 @@ def report(top=20):
         by_line = defaultdict(list)
         for (ln, name), ps in tot.items():
             by_line[ln].append((ps, name))
+        import re
+
         for ln in ("XLA Ops", "Async XLA Ops"):
             items = sorted(by_line.get(ln, []), reverse=True)
             total = sum(p for p, _ in items)
@@ -115,6 +117,20 @@ def report(top=20):
             for ps, name in items[:top]:
                 print(f"  {ps / 1e9:8.3f} ms {100 * ps / total:5.1f}% "
                       f"x{cnt[(ln, name)]:4d}  {name[:100]}")
+            # Category rollup: strip instance suffixes (".<n>") so the long
+            # tail of small ops becomes visible as aggregate buckets.
+            cat_tot, cat_cnt = defaultdict(int), defaultdict(int)
+            for ps, name in items:
+                cat = re.sub(r"[.\d]+$", "",
+                             name.lstrip("%").split(" = ")[0].split("(")[0])
+                cat_tot[cat] += ps
+                cat_cnt[cat] += cnt[(ln, name)]
+            print(f"-- {ln} by category:")
+            for cat, ps in sorted(cat_tot.items(), key=lambda kv: -kv[1]):
+                if ps / max(total, 1) < 0.002:
+                    continue
+                print(f"  {ps / 1e9:8.3f} ms {100 * ps / total:5.1f}% "
+                      f"x{cat_cnt[cat]:5d}  {cat[:90]}")
 
 
 if __name__ == "__main__":
