@@ -1,0 +1,178 @@
+"""On-device numerics self-test for every Pallas kernel this framework ships.
+
+The CPU test suite exercises the kernels in Pallas *interpret* mode
+(tests/test_kernels.py); this tool runs the same value+gradient equality
+checks through the real Mosaic compiler on the attached TPU — the
+configuration that actually serves traffic. Run it after touching any kernel
+or bumping jax/libtpu:
+
+    python tools/tpu_selftest.py            # ~1-2 min, prints PASS/FAIL per check
+
+Covers: flash causal attention fwd+bwd (f32 + bf16, mask_center both ways,
+reproduce() and C=512 head shapes), the Pallas LayerNorm fwd+bwd, the fused
+LN+MLP+residual fwd+bwd, and the fused VQ quantizer. Exit code 0 iff all
+checks pass.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_FAILURES = []
+
+
+def _check(name, got, want, atol, rel_of=1.0):
+    import numpy as np
+
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    err = float(np.max(np.abs(got - want))) if got.size else 0.0
+    tol = atol * max(float(np.max(np.abs(want))) if want.size else 0.0,
+                     rel_of)
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: max err {err:.3e} "
+          f"(tol {tol:.3e})")
+    if not ok:
+        _FAILURES.append(name)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorch_generative_tpu.ops import attention as attn_ref
+    from pytorch_generative_tpu.ops import attention_pallas as ap
+    from pytorch_generative_tpu.ops import ln_pallas, mlp_pallas
+
+    if jax.default_backend() != "tpu":
+        print(f"no TPU attached (backend={jax.default_backend()}); "
+              f"the CPU suite already covers interpret mode — nothing to do")
+        return 0
+
+    rng = np.random.default_rng(0)
+
+    # --- Flash attention: reproduce() shape (H=2, d_k=32) and the
+    # production C=512 shape (H=4, d_k=128), f32 and bf16.
+    #
+    # f32 tolerance is bf16-scale BY DESIGN: inside the kernels the MXU
+    # computes f32 matmuls as bf16 passes with f32 accumulation (the v5e has
+    # no full-rate f32 systolic path) — the same posture as torch's TF32
+    # default on Ampere. XLA's own f32 dot uses a multi-pass scheme, so the
+    # reference is ~1e-6-exact and the diff measures the single-pass policy,
+    # not a defect (measured here: 5e-3..2e-2 on O(1) activations). The pure
+    # VPU kernels (LayerNorm) are f32-exact. ---
+    for (h, d, dtype, atol) in [(2, 32, jnp.float32, 3e-2),
+                                (4, 128, jnp.float32, 3e-2),
+                                (2, 32, jnp.bfloat16, 3e-2),
+                                (4, 128, jnp.bfloat16, 3e-2)]:
+        for mask_center in (False, True):
+            q = jnp.asarray(rng.standard_normal((2, h, 784, d)), dtype)
+            k = jnp.asarray(rng.standard_normal((2, h, 784, d)), dtype)
+            v = jnp.asarray(rng.standard_normal((2, h, 784, d)), dtype)
+            tag = f"flash h={h} d={d} {jnp.dtype(dtype).name} mc={mask_center}"
+            want = attn_ref.causal_attention(
+                *(t.astype(jnp.float32) for t in (q, k, v)),
+                mask_center=mask_center)
+            got = ap.causal_attention_trainable(q, k, v, mask_center)
+            _check(tag + " fwd", got, want, atol)
+
+            def loss_k(q, k, v):
+                return jnp.sum(
+                    jnp.sin(ap.causal_attention_trainable(
+                        q, k, v, mask_center).astype(jnp.float32)))
+
+            def loss_r(q, k, v):
+                return jnp.sum(jnp.sin(attn_ref.causal_attention(
+                    *(t.astype(jnp.float32) for t in (q, k, v)),
+                    mask_center=mask_center)))
+
+            gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+            gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+            for nm, a, b in zip(("dq", "dk", "dv"), gk, gr):
+                _check(f"{tag} {nm}", a, b, atol)
+
+    # --- Pallas LayerNorm. ---
+    for c, dtype, atol in [(64, jnp.float32, 2e-5), (512, jnp.float32, 2e-5),
+                           (512, jnp.bfloat16, 3e-2)]:
+        x = jnp.asarray(rng.standard_normal((16, 784, c)), dtype)
+        g = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+
+        def ref(x, g, b, eps=1e-5):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, -1, keepdims=True)
+            var = jnp.var(xf, -1, keepdims=True)
+            return (xf - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+        tag = f"ln c={c} {jnp.dtype(dtype).name}"
+        _check(tag + " fwd", ln_pallas.channel_layernorm(x, g, b),
+               ref(x, g, b), atol)
+        gk = jax.grad(lambda *a: jnp.sum(jnp.sin(
+            ln_pallas.channel_layernorm(*a).astype(jnp.float32))),
+            argnums=(0, 1, 2))(x, g, b)
+        gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                      argnums=(0, 1, 2))(x, g, b)
+        for nm, a2, b2 in zip(("dx", "dgamma", "dbeta"), gk, gr):
+            _check(f"{tag} {nm}", a2, b2, atol)
+
+    # --- Fused LN+MLP+residual (f32 tolerance bf16-scale: in-kernel MXU
+    # dots, same single-pass policy as the attention kernels above). ---
+    for c, dtype, atol in [(64, jnp.float32, 3e-2), (512, jnp.float32, 3e-2),
+                           (512, jnp.bfloat16, 5e-2)]:
+        f = 4 * c
+        x = jnp.asarray(rng.standard_normal((8, 784, c)), dtype)
+        g = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((c, f)) * 0.05, dtype)
+        b1 = jnp.asarray(rng.standard_normal((f,)) * 0.1, dtype)
+        w2 = jnp.asarray(rng.standard_normal((f, c)) * 0.05, dtype)
+        b2 = jnp.asarray(rng.standard_normal((c,)) * 0.1, dtype)
+
+        def ref(x, g, b, w1, b1, w2, b2, eps=1e-5):
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, -1, keepdims=True)
+            var = jnp.var(xf, -1, keepdims=True)
+            ln = (xf - mu) * jax.lax.rsqrt(var + eps) * g + b
+            h = jax.nn.gelu(ln @ w1.astype(jnp.float32) + b1,
+                            approximate=False)
+            return xf + h @ w2.astype(jnp.float32) + b2
+
+        args = (x, g, b, w1, b1, w2, b2)
+        tag = f"ln_mlp c={c} {jnp.dtype(dtype).name}"
+        _check(tag + " fwd", mlp_pallas.ln_mlp_residual(*args), ref(*args),
+               atol)
+        gk = jax.grad(lambda *a: jnp.sum(jnp.sin(
+            mlp_pallas.ln_mlp_residual(*a).astype(jnp.float32))),
+            argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))),
+                      argnums=tuple(range(7)))(*args)
+        for nm, a2, b2_ in zip(("dx", "dg", "db", "dw1", "db1", "dw2", "db2"),
+                               gk, gr):
+            _check(f"{tag} {nm}", a2, b2_, atol)
+
+    # --- Fused VQ quantizer (opt-in kernel, still must be correct). ---
+    try:
+        from pytorch_generative_tpu.ops import vq_pallas
+
+        xq = jnp.asarray(rng.standard_normal((4096, 64)), jnp.float32)
+        cb = jnp.asarray(rng.standard_normal((512, 64)), jnp.float32)
+        quant, counts, sums = vq_pallas.vq_quantize_fused(xq, cb)
+        want_idx = jnp.argmin(
+            jnp.sum(xq ** 2, 1, keepdims=True)
+            - 2 * xq @ cb.T + jnp.sum(cb ** 2, 1)[None], axis=1)
+        one_hot = jax.nn.one_hot(want_idx, cb.shape[0])
+        # quantized = one_hot @ codebook rides the MXU single-pass (bf16
+        # rounding of codebook values); counts are exact index agreement.
+        _check("vq quantized", quant, cb[want_idx], 3e-2)
+        _check("vq counts", counts, one_hot.sum(0), 1e-5)
+        _check("vq sums", sums, one_hot.T @ xq, 1e-4)
+    except (ImportError, AttributeError) as e:  # pragma: no cover
+        print(f"SKIP  vq kernel ({e})")
+
+    print(f"\n{'ALL PASS' if not _FAILURES else 'FAILURES: ' + str(_FAILURES)}")
+    return 1 if _FAILURES else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
