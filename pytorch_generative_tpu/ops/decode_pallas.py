@@ -194,7 +194,9 @@ def fused_decode_step(i, x, kv_cache, weights, n_heads, d_k, d_v, window,
         ],
         scratch_shapes=[pltpu.VMEM((n, c), jnp.float32)],
     )
-    # Two cache blocks resident (double buffering) + weights + headroom.
+    # Three cache blocks resident (Mosaic keeps an extra in-flight buffer
+    # beyond the compute/fetch pair — measured: n=64/window=560 allocates
+    # ~180K past a 2-block budget) + weights + headroom.
     block_bytes = n * window * f * kv_cache.dtype.itemsize
     act, kv_new = pl.pallas_call(
         kernel,
@@ -202,8 +204,8 @@ def fused_decode_step(i, x, kv_cache, weights, n_heads, d_k, d_v, window,
         out_shape=[jax.ShapeDtypeStruct((n, c), jnp.float32),
                    jax.ShapeDtypeStruct((n_blocks, n, f), kv_cache.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * block_bytes + 32 * 1024 * 1024,
-                                 120 * 1024 * 1024)),
+            vmem_limit_bytes=min(3 * block_bytes + 32 * 1024 * 1024,
+                                 115 * 1024 * 1024)),
         interpret=interpret,
     )(jnp.asarray([i], jnp.int32), x, kv_cache,
       *[weights[k] for k in w_order])

@@ -627,11 +627,12 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
         n_samples / conditioned_on: As in AutoregressiveModel.sample.
         use_fused_step: If True, run each pixel's block stack as one Pallas
             kernel (ops/decode_pallas.py) — the default on TPU for small
-            sample batches (n <= PGT_FUSED_DECODE_MAX_N, default 64), where
-            the XLA path is op-dispatch-bound (measured 54 -> 103+ img/s at
-            n=16 on v5e). At large n both paths are cache-bandwidth-bound
-            and XLA's einsums stream closer to peak HBM bandwidth, so auto
-            mode keeps XLA there. CPU defaults to the XLA path, which is
+            sample batches (n <= PGT_FUSED_DECODE_MAX_N, default 32), where
+            the XLA path is op-dispatch-bound (measured on v5e: 54 -> 121
+            img/s at n=16, 54 -> 141 at n=32). At large n both paths are
+            cache-bandwidth-bound and XLA's einsums stream closer to peak
+            HBM bandwidth (n=64: XLA 180 vs fused 146), so auto mode keeps
+            XLA there. CPU defaults to the XLA path, which is
             bitwise-equal to the naive sampler. PGT_NO_FUSED_DECODE=1
             forces the XLA path everywhere.
     Returns:
@@ -639,7 +640,7 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
     """
     if use_fused_step is None:
         n = n_samples if n_samples is not None else conditioned_on.shape[0]
-        max_n = int(os.environ.get("PGT_FUSED_DECODE_MAX_N", "64"))
+        max_n = int(os.environ.get("PGT_FUSED_DECODE_MAX_N", "32"))
         use_fused_step = (jax.default_backend() != "cpu"
                           and os.environ.get("PGT_NO_FUSED_DECODE") != "1"
                           and n <= max_n)
