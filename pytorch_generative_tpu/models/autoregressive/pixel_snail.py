@@ -88,7 +88,10 @@ class PixelSNAILBlock(core.Module):
         res = x
         for block in self.residual_blocks:
             res = block(res)
-        pos = image_positional_encoding(input_img.shape)
+        # Cast the (f32-cached) coordinate channels to the activation dtype so
+        # mixed-precision (compute_dtype=bfloat16) runs don't get promoted
+        # back to f32 by the concat.
+        pos = image_positional_encoding(input_img.shape).astype(res.dtype)
         attn = self.attention(jnp.concatenate([pos, res], axis=-1), input_img)
         res = _elu_conv_elu(self.residual_out, res)
         attn = _elu_conv_elu(self.attention_out, attn)
