@@ -10,8 +10,8 @@ or bumping jax/libtpu:
 
 Covers: flash causal attention fwd+bwd (f32 + bf16, mask_center both ways,
 reproduce() and C=512 head shapes), the Pallas LayerNorm fwd+bwd, the fused
-LN+MLP+residual fwd+bwd, and the fused VQ quantizer. Exit code 0 iff all
-checks pass.
+LN+MLP+residual fwd+bwd, the fused per-pixel decode step, and the fused VQ
+quantizer. Exit code 0 iff all checks pass.
 """
 
 import os
@@ -150,6 +150,45 @@ def main():
         for nm, a2, b2_ in zip(("dx", "dg", "db", "dw1", "db1", "dw2", "db2"),
                                gk, gr):
             _check(f"{tag} {nm}", a2, b2_, atol)
+
+    # --- Fused per-pixel decode step (ops/decode_pallas.py) at the
+    # reproduce() sample-grid config (n=16, 8 blocks, H=2, C=64). The
+    # reference activations come from the model's own block math given the
+    # true K/V caches (mirrors tests/test_sampling.py, here through Mosaic).
+    # MXU single-pass f32 policy => bf16-scale tolerance, as above. ---
+    from pytorch_generative_tpu import models
+    from pytorch_generative_tpu.ops import decode_pallas as dp
+
+    m = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                        in_size=28, n_transformer_blocks=8,
+                        n_attention_heads=2, n_embedding_channels=64,
+                        in_shape=(28, 28, 1))
+    xs = jnp.asarray(rng.random((16, 28, 28, 1)) < 0.13, jnp.float32)
+    h0 = m.input_conv(xs + m.pos)
+    n, hh, ww, c = h0.shape
+    seq = h0.reshape(n, hh * ww, c)
+    caches, t = [], seq
+    for blk in m.blocks:
+        ln1 = blk.ln1(t)
+        caches.append(ln1 @ blk.attn.kv_proj.weight[0, 0]
+                      + blk.attn.kv_proj.bias)
+        u = t + blk.attn(ln1)
+        mlp = blk.mlp_conv2(jax.nn.gelu(blk.mlp_conv1(blk.ln2(u)),
+                                        approximate=False))
+        t = t + (u + mlp)
+    ref_act = np.asarray(m.ln(t))
+    weights = dp.stack_image_gpt_weights(m)
+    kv_cache = jnp.stack(caches)
+    heads = m.blocks[0].attn.n_heads
+    d_k = m.blocks[0].attn.embed_channels // heads
+    d_v = m.blocks[0].attn.out_channels // heads
+    for i in (0, 391, 783):
+        act, kv_new = dp.fused_decode_step(
+            jnp.int32(i), seq[:, i, :], kv_cache, weights, heads, d_k, d_v,
+            window=hh * ww)
+        _check(f"decode step i={i} act", act, ref_act[:, i, :], 3e-2)
+        _check(f"decode step i={i} kv", kv_new,
+               np.asarray(kv_cache[:, :, i, :]), 3e-2)
 
     # --- Fused VQ quantizer (opt-in kernel, still must be correct). ---
     try:
