@@ -280,7 +280,11 @@ class VeryDeepVAE(base.VariationalAutoEncoder):
 
         if self.remat:
             run_dec = jax.checkpoint(run_dec)
-        x = jnp.zeros((n,) + self.biases[-1].shape[1:])
+        # Match the (possibly bf16-cast) parameter dtype — a f32 zeros here
+        # would promote the whole top-down pass back to f32 under
+        # compute_dtype=bfloat16.
+        x = jnp.zeros((n,) + self.biases[-1].shape[1:],
+                      self.biases[-1].dtype)
         kl_divs = []
         rngs = jax.random.split(rng, len(self.decoder))
         for stack, mixin, bias, stack_rng in zip(
@@ -293,7 +297,8 @@ class VeryDeepVAE(base.VariationalAutoEncoder):
         return self.output_conv(x), kl_div
 
     def _sample(self, rng, n_samples):
-        x = jnp.zeros((n_samples,) + self.biases[-1].shape[1:])
+        x = jnp.zeros((n_samples,) + self.biases[-1].shape[1:],
+                      self.biases[-1].dtype)
         rngs = jax.random.split(rng, len(self.decoder))
         for stack, bias, stack_rng in zip(self.decoder, reversed(self.biases),
                                           rngs):

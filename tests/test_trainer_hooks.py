@@ -47,6 +47,37 @@ def test_mixed_precision_training(tmp_path):
         assert leaf.dtype == jnp.float32
 
 
+def test_bf16_forward_stays_bf16_models_with_constants():
+    """Models that construct constants inside forward (PixelSNAIL's coordinate
+    channels, VD-VAE's top-down zeros) must not promote a bf16 activation
+    stream back to f32 — regression test for the conv dtype-mismatch crash
+    under compute_dtype=bfloat16."""
+    import jax.numpy as jnp
+
+    from pytorch_generative_tpu import core
+    from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+
+    snail = models.PixelSNAIL(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1, n_channels=8,
+        n_pixel_snail_blocks=1, n_residual_blocks=1,
+        attention_key_channels=4, attention_value_channels=8,
+        in_shape=(8, 8, 1))
+    x = jnp.zeros((2, 8, 8, 1), jnp.bfloat16)
+    out = core.cast_floating(snail, jnp.bfloat16).forward(x)
+    assert out.dtype == jnp.bfloat16
+
+    vd = models.VeryDeepVAE(
+        jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+        input_resolution=8,
+        stack_configs=(StackConfig(n_encoder_blocks=1, n_decoder_blocks=1),
+                       StackConfig(n_encoder_blocks=1, n_decoder_blocks=1)),
+        latent_channels=4, hidden_channels=8, bottleneck_channels=4,
+        in_shape=(8, 8, 1))
+    preds, kl = core.cast_floating(vd, jnp.bfloat16).forward(
+        x, rng=jax.random.PRNGKey(1))
+    assert preds.dtype == jnp.bfloat16
+
+
 def test_compute_metrics_override(tmp_path):
     model = models.NADE(jax.random.PRNGKey(0), input_dim=16, hidden_dim=4,
                         in_shape=(4, 4, 1))
