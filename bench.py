@@ -193,8 +193,16 @@ def bench_train_generic(model, loss_fn, x_batch, n_steps, chunk, lr=1e-3,
                 xc = x.astype(compute_dtype)
             preds, new_m = m.forward_with_state(xc, training=True)
             if compute_dtype is not None:
-                preds = jax.tree_util.tree_map(
-                    lambda t: t.astype(jnp.float32), preds)
+                # Master precision on outputs and returned state (the
+                # Trainer's recipe: exact for binary masks, no-op for the
+                # state_field buffers, which stay f32 under cast_floating).
+                to_f32 = lambda t: (t.astype(jnp.float32)
+                                    if hasattr(t, "dtype")
+                                    and jnp.issubdtype(t.dtype, jnp.floating)
+                                    else t)
+                preds = jax.tree_util.tree_map(to_f32, preds)
+                new_m = jax.tree_util.tree_map(to_f32, new_m,
+                                               is_leaf=lambda v: v is None)
             _, new_rest = core.partition(new_m)
             out = loss_fn(x, None, preds)
             loss = out["loss"] if isinstance(out, dict) else out
