@@ -643,8 +643,8 @@ def main():
               base.get("reference_vd_vae_cpu_train_samples_per_sec"))
 
         check_budget("imagegpt_moe")
-        # --- ImageGPT-MoE: sparse-MLP flagship variant (8 experts, sort/
-        # gather Switch routing). No reference counterpart. With top-1
+        # --- ImageGPT-MoE: sparse-MLP flagship variant (8 experts, one-hot
+        # einsum Switch routing). No reference counterpart. With top-1
         # routing and expert hidden width 4C the ACTIVE FLOPs per token match
         # dense ImageGPT's MLPs exactly (one 4C MLP each), so the dense-ratio
         # emitted with the headline is an at-matched-active-FLOPs comparison.

@@ -84,6 +84,36 @@ def test_route_onehot_view_matches_compact():
     np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_o), atol=1e-5)
 
 
+@pytest.mark.parametrize("n_selected", [1, 2])
+def test_route_onehot_matches_compact_under_drops(n_selected):
+    """route_onehot (the dense-path default: cumsum positions + einsum
+    dispatch/combine) must equal route()/route_compact exactly — same slots,
+    same drops, same gates — under capacity pressure, for top-1 and top-2."""
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=4, capacity_factor=1.0, n_selected=n_selected)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (32, 8))
+    cap = capacity_for(32 * n_selected, 4, 1.0)
+
+    dispatch_o, combine_o, aux_o = moe.route_onehot(tokens, cap)
+    dispatch_v, combine_v, aux_v = moe.route(tokens, cap)
+    np.testing.assert_allclose(float(aux_o), float(aux_v), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dispatch_o), np.asarray(dispatch_v),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(combine_o), np.asarray(combine_v),
+                               atol=1e-6)
+    # Drops actually happened (else the test proves nothing).
+    assert float(dispatch_o.sum()) < 32 * n_selected
+
+    # And the end-to-end outputs agree through the expert MLPs.
+    expert_in = jnp.einsum("tec,td->ecd", dispatch_o, tokens)
+    out = moe.apply_experts(expert_in)
+    y_o = jnp.einsum("tec,ecd->td", combine_o, out)
+    src, valid, slot, weight, _ = moe.route_compact(tokens, cap)
+    out_c = moe.apply_experts(moe.dispatch_compact(tokens, src, valid))
+    y_c = moe.combine_compact(out_c, slot, weight)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_c), atol=1e-5)
+
+
 def test_sparse_moe_top2_matches_manual():
     """n_selected=2 with ample capacity: each token's output must equal the
     pair-normalized gate-weighted sum of its two best experts' MLPs (the
