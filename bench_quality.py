@@ -12,17 +12,39 @@ formulas — the reference's reproduce() losses
 and its Trainer's example-weighted eval (reference trainer.py:269-277; ours
 pytorch_generative_tpu/utils/evaluation.py).
 
-Both frameworks run on CPU: model quality is hardware-independent, identical
-hardware removes a confound, and the single tunneled TPU chip stays free. Batch
-order is identical on both sides (pre-shuffled fixed arrays, no reshuffling);
-weight inits follow each framework's own init RNG — parity at the *converged
-loss* is the claim, not trajectory equality (that is tested separately in
-tests/test_training_parity.py).
+Sides and backends:
+
+- The torch reference always runs on CPU (it has no TPU backend).
+- This framework runs on CPU (``--backend cpu``, hardware-independence
+  control: same box as the reference) or on the REAL TPU
+  (``--backend tpu``) — the latter trains through the actual Pallas kernel
+  path (flash attention fwd+bwd; fused LN/MLP where the config permits) in
+  f32 or bf16 (``--dtype bfloat16``), proving the production kernels hold
+  converged quality, not just 1e-4 unit parity. TPU rows carry
+  ``backend/dtype/pallas_flash`` fields; the harness ASSERTS the flash path
+  is actually enabled for the attention models.
+
+Per-family quality metrics follow the reference's own reproduce() losses:
+binary-cross-entropy NLL (AR models, nats), ELBO (VAE/VD-VAE, nats), NICE
+dequantized log-likelihood reported in bits/dim with the reference README's
+(nll/784 + log 256)/log 2 conversion, VQ-VAE recon-MSE + commitment loss plus
+codebook perplexity (EMA codebook health; reference nn/utils.py:80-90).
+
+Batch order is identical on both sides (pre-shuffled fixed arrays, no
+reshuffling); weight inits follow each framework's own init RNG — parity at
+the *converged loss* is the claim, not trajectory equality (that is tested
+separately in tests/test_training_parity.py).
+
+Results accumulate in QUALITY_CACHE.json (one entry per model+backend+dtype
+side) so the slow torch baselines run once; ``--record`` assembles the cache
+into BASELINE_MEASURED.json's quality_parity table.
 
 Usage:
-    python bench_quality.py                 # all models, prints one JSON line each
-    python bench_quality.py --models nade,made
-    python bench_quality.py --record        # also update BASELINE_MEASURED.json
+    python bench_quality.py                               # legacy 4, CPU both
+    python bench_quality.py --models image_gpt --side ref # torch side only
+    python bench_quality.py --models image_gpt,pixel_snail \
+        --side ours --backend tpu --dtype bfloat16        # real-kernel side
+    python bench_quality.py --record                      # cache -> BASELINE
 """
 
 from __future__ import annotations
@@ -33,11 +55,12 @@ import math
 import os
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
 import numpy as np
 
 REL_TOL = 0.03  # |nll_tpu - nll_ref| / nll_ref must be under this.
+PERPLEXITY_REL_TOL = 0.10  # VQ-VAE codebook-health tolerance.
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "QUALITY_CACHE.json")
 
 
 # ---------------------------------------------------------------------------
@@ -74,39 +97,99 @@ def make_quality_dataset(n_train=1024, n_eval=256, size=28, n_protos=8,
     return draw(n_train), draw(n_eval)
 
 
+def dataset_variant(train_x, eval_x, variant):
+    """Derives the per-model input arrays (identical on both sides).
+
+    - "binary": the 0/1 images as-is.
+    - "dequant": the reference NICE recipe (x*255 + u)/256 with FIXED uniform
+      noise u baked into the arrays (reference datasets.py dequantize lambda)
+      so both frameworks see bit-identical inputs.
+    - "pad32": zero-pad 28x28 -> 32x32 (reference get_mnist_loaders
+      pad 2px for VD-VAE's power-of-two resolution stacks).
+    """
+    if variant == "binary":
+        return train_x, eval_x
+    if variant == "dequant":
+        rng = np.random.default_rng(11)
+        deq = lambda x: ((x * 255.0 + rng.random(x.shape).astype(np.float32))
+                         / 256.0).astype(np.float32)
+        return deq(train_x), deq(eval_x)
+    if variant == "pad32":
+        pad = lambda x: np.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+        return pad(train_x), pad(eval_x)
+    raise ValueError(variant)
+
+
 # ---------------------------------------------------------------------------
-# TPU-build side (runs on CPU here; the framework is backend-agnostic).
+# TPU-build side.
 # ---------------------------------------------------------------------------
 
-def run_ours(model_name, cfg, train_x, eval_x, epochs, batch, lr,
-             eval_seeds=8):
+def run_ours(model_name, spec, train_x, eval_x, backend="cpu",
+             dtype="float32", eval_seeds=8):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        assert jax.default_backend() == "tpu", (
+            f"--backend tpu requested but jax backend is "
+            f"{jax.default_backend()}")
+        # Persistent compile cache (same as bench.py): repeated quality runs
+        # skip the 1-6 min remote-compile wait.
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import optax
 
     import pytorch_generative_tpu as pgt
     from pytorch_generative_tpu.utils import evaluation
 
-    model = _build_ours(model_name, cfg, jax.random.PRNGKey(0))
+    model = _build_ours(model_name, spec["cfg"], jax.random.PRNGKey(0))
+    flash_used = _assert_flash(model, model_name, backend)
     loss_fn = _loss_ours(model_name)
+    batch = spec["batch"]
     train_loader = pgt.datasets.DataLoader(train_x, None, batch, shuffle=False)
     eval_loader = pgt.datasets.DataLoader(eval_x, None, batch, shuffle=False)
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     import tempfile
 
     with tempfile.TemporaryDirectory() as log_dir:
         t = pgt.trainer.Trainer(
-            model=model, loss_fn=loss_fn, optimizer=optax.adam(lr),
+            model=model, loss_fn=loss_fn, optimizer=optax.adam(spec["lr"]),
             train_loader=train_loader, eval_loader=eval_loader,
             log_dir=log_dir, sample_epochs=10 ** 9,
-            save_checkpoint_epochs=10 ** 9, use_tensorboard=False)
-        t.interleaved_train_and_eval(epochs, restore=False)
-        # Example-weighted eval NLL, averaged over RNG draws (the VAE's ELBO is
-        # a 1-sample MC estimate; extra seeds shrink that noise for everyone).
+            save_checkpoint_epochs=10 ** 9, use_tensorboard=False,
+            compute_dtype=compute_dtype)
+        t.interleaved_train_and_eval(spec["epochs"], restore=False)
+        # Example-weighted eval NLL in f32 master precision, averaged over RNG
+        # draws (the VAEs' ELBOs are 1-sample MC estimates; extra seeds shrink
+        # that noise for everyone).
         nlls = [evaluation.evaluate_loss(t.model, loss_fn, eval_loader,
                                          seed=s)["loss"]
                 for s in range(eval_seeds)]
-    return float(np.mean(nlls))
+        extras = {}
+        if model_name == "vq_vae":
+            extras["perplexity"] = _perplexity_ours(t.model, eval_x, batch)
+    return float(np.mean(nlls)), flash_used, extras
+
+
+def _assert_flash(model, name, backend):
+    """Returns whether the Pallas flash kernels are in the compute path, and
+    asserts they are when an attention model runs on the real TPU."""
+    attn = None
+    if name == "image_gpt":
+        attn = [b.attn for b in model.blocks]
+    elif name == "pixel_snail":
+        attn = [b.attention for b in model.pixel_snail_blocks]
+    if attn is None:
+        return False
+    flash = all(a.use_flash for a in attn)
+    if backend == "tpu":
+        assert flash, (f"{name} on TPU must run the Pallas flash kernels "
+                       f"(PGT_NO_FLASH set?)")
+    return flash
 
 
 def _build_ours(name, cfg, key):
@@ -129,14 +212,56 @@ def _build_ours(name, cfg, key):
             latent_channels=cfg["latent_channels"], strides=(4,),
             hidden_channels=cfg["hidden_channels"],
             residual_channels=cfg["residual_channels"], in_shape=(28, 28, 1))
+    if name == "image_gpt":
+        return models.ImageGPT(
+            key, in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=cfg["n_blocks"],
+            n_attention_heads=cfg["n_heads"],
+            n_embedding_channels=cfg["channels"], in_shape=(28, 28, 1))
+    if name == "pixel_snail":
+        return models.PixelSNAIL(
+            key, in_channels=1, out_channels=1, n_channels=cfg["channels"],
+            n_pixel_snail_blocks=cfg["n_blocks"],
+            n_residual_blocks=cfg["n_residual"],
+            attention_key_channels=cfg["key_channels"],
+            attention_value_channels=cfg["value_channels"],
+            in_shape=(28, 28, 1))
+    if name == "gated_pixel_cnn":
+        return models.GatedPixelCNN(
+            key, in_channels=1, out_channels=1, n_gated=cfg["n_gated"],
+            gated_channels=cfg["gated_channels"],
+            head_channels=cfg["head_channels"], in_shape=(28, 28, 1))
+    if name == "nice":
+        return models.NICE(
+            key, n_features=784, n_coupling_blocks=cfg["n_blocks"],
+            n_hidden_layers=cfg["n_layers"],
+            n_hidden_features=cfg["hidden"], in_shape=(28, 28, 1))
+    if name == "vq_vae":
+        return models.VectorQuantizedVAE(
+            key, in_channels=1, out_channels=1,
+            hidden_channels=cfg["hidden_channels"],
+            n_residual_blocks=cfg["n_residual"],
+            residual_channels=cfg["residual_channels"],
+            n_embeddings=cfg["n_embeddings"],
+            embedding_dim=cfg["embedding_dim"], in_shape=(28, 28, 1))
+    if name == "vd_vae":
+        from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
+        return models.VeryDeepVAE(
+            key, in_channels=1, out_channels=1, input_resolution=32,
+            stack_configs=tuple(StackConfig(*s) for s in cfg["stacks"]),
+            latent_channels=cfg["latent_channels"],
+            hidden_channels=cfg["hidden_channels"],
+            bottleneck_channels=cfg["bottleneck_channels"],
+            in_shape=(32, 32, 1))
     raise ValueError(name)
 
 
 def _loss_ours(name):
+    import jax
     import jax.numpy as jnp
     import optax
 
-    if name == "vae":
+    if name in ("vae", "vd_vae"):
         def loss_fn(x, _, preds):
             preds, kl_div = preds
             n = x.shape[0]
@@ -147,6 +272,25 @@ def _loss_ours(name):
                     "kl_div": kl_div.mean()}
         return loss_fn
 
+    if name == "nice":
+        # Reference nice.py:205-213: logistic prior + log|det J|.
+        def loss_fn(x, _, preds):
+            z, log_det_J = preds
+            n = x.shape[0]
+            log_prob = -(jax.nn.softplus(z) + jax.nn.softplus(-z)).reshape(
+                n, -1).sum(axis=1)
+            return {"loss": -(log_prob + log_det_J).mean()}
+        return loss_fn
+
+    if name == "vq_vae":
+        # Reference vq_vae.py:131-140: mean-MSE recon + commitment loss.
+        def loss_fn(x, _, preds):
+            preds, vq_loss = preds
+            recon = jnp.mean((preds - x) ** 2)
+            return {"loss": recon + vq_loss, "recon_loss": recon,
+                    "vq_loss": vq_loss}
+        return loss_fn
+
     def loss_fn(x, _, preds):
         n = x.shape[0]
         return optax.sigmoid_binary_cross_entropy(
@@ -154,12 +298,27 @@ def _loss_ours(name):
     return loss_fn
 
 
+def _perplexity_ours(model, eval_x, batch):
+    """Codebook perplexity exp(H(assignments)) over the eval set."""
+    import jax.numpy as jnp
+    from pytorch_generative_tpu.ops import vq as vq_ops
+
+    counts = np.zeros(model.quantizer.vq.n_embeddings)
+    for i in range(0, len(eval_x), batch):
+        x = jnp.asarray(eval_x[i:i + batch])
+        z = model.quantizer.conv(model.encoder(x))
+        idxs = np.asarray(vq_ops.nearest_codebook(
+            z.reshape(-1, z.shape[-1]), model.quantizer.vq.codebook))
+        counts += np.bincount(idxs, minlength=len(counts))
+    p = counts / counts.sum()
+    return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+
 # ---------------------------------------------------------------------------
 # Torch-reference side.
 # ---------------------------------------------------------------------------
 
-def run_ref(model_name, cfg, train_x, eval_x, epochs, batch, lr,
-            eval_seeds=8):
+def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8):
     import torch
 
     import sys
@@ -168,16 +327,17 @@ def run_ref(model_name, cfg, train_x, eval_x, epochs, batch, lr,
 
     ref = load_reference()
     torch.manual_seed(0)
-    model = _build_ref(ref, model_name, cfg)
-    flat = model_name in ("nade", "made")
+    model = _build_ref(ref, model_name, spec["cfg"])
+    batch = spec["batch"]
+    flat = model_name in ("nade", "made", "nice")
     xs = torch.tensor(train_x).permute(0, 3, 1, 2).contiguous()
     ev = torch.tensor(eval_x).permute(0, 3, 1, 2).contiguous()
     if flat:
         xs, ev = xs.reshape(len(xs), -1), ev.reshape(len(ev), -1)
     loss_fn = _loss_ref(model_name)
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    opt = torch.optim.Adam(model.parameters(), lr=spec["lr"])
     model.train()
-    for _ in range(epochs):
+    for _ in range(spec["epochs"]):
         for i in range(0, len(xs), batch):
             xb = xs[i:i + batch]
             metrics = loss_fn(xb, None, model(xb))
@@ -186,9 +346,9 @@ def run_ref(model_name, cfg, train_x, eval_x, epochs, batch, lr,
             loss.backward()
             opt.step()
     model.eval()
-    # The reference evaluates in train-mode semantics for the VAE's sampling
-    # path (its forward always draws latents); eval() only affects layers like
-    # dropout/BN, which these models lack. Example-weighted mean, averaged
+    # The reference evaluates in train-mode semantics for the VAEs' sampling
+    # paths (their forwards always draw latents); eval() only affects layers
+    # like dropout/BN, which these models lack. Example-weighted mean, averaged
     # over eval_seeds RNG draws (reference trainer.py:269-277 weighting).
     totals = []
     for s in range(eval_seeds):
@@ -202,7 +362,10 @@ def run_ref(model_name, cfg, train_x, eval_x, epochs, batch, lr,
                 total += float(loss) * len(xb)
                 n_total += len(xb)
         totals.append(total / n_total)
-    return float(np.mean(totals))
+    extras = {}
+    if model_name == "vq_vae":
+        extras["perplexity"] = _perplexity_ref(model, ev, batch)
+    return float(np.mean(totals)), extras
 
 
 def _build_ref(ref, name, cfg):
@@ -222,19 +385,75 @@ def _build_ref(ref, name, cfg):
             latent_channels=cfg["latent_channels"], strides=[4],
             hidden_channels=cfg["hidden_channels"],
             residual_channels=cfg["residual_channels"])
+    if name == "image_gpt":
+        return ref.models.ImageGPT(
+            in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=cfg["n_blocks"],
+            n_attention_heads=cfg["n_heads"],
+            n_embedding_channels=cfg["channels"])
+    if name == "pixel_snail":
+        return ref.models.PixelSNAIL(
+            in_channels=1, out_channels=1, n_channels=cfg["channels"],
+            n_pixel_snail_blocks=cfg["n_blocks"],
+            n_residual_blocks=cfg["n_residual"],
+            attention_key_channels=cfg["key_channels"],
+            attention_value_channels=cfg["value_channels"])
+    if name == "gated_pixel_cnn":
+        return ref.models.GatedPixelCNN(
+            in_channels=1, out_channels=1, n_gated=cfg["n_gated"],
+            gated_channels=cfg["gated_channels"],
+            head_channels=cfg["head_channels"])
+    if name == "nice":
+        return ref.models.NICE(
+            n_features=784, n_coupling_blocks=cfg["n_blocks"],
+            n_hidden_layers=cfg["n_layers"], n_hidden_features=cfg["hidden"])
+    if name == "vq_vae":
+        return ref.models.VectorQuantizedVAE(
+            in_channels=1, out_channels=1,
+            hidden_channels=cfg["hidden_channels"],
+            n_residual_blocks=cfg["n_residual"],
+            residual_channels=cfg["residual_channels"],
+            n_embeddings=cfg["n_embeddings"],
+            embedding_dim=cfg["embedding_dim"])
+    if name == "vd_vae":
+        SC = ref.models.vae.vd_vae.StackConfig
+        return ref.models.VeryDeepVAE(
+            in_channels=1, out_channels=1, input_resolution=32,
+            stack_configs=[SC(*s) for s in cfg["stacks"]],
+            latent_channels=cfg["latent_channels"],
+            hidden_channels=cfg["hidden_channels"],
+            bottleneck_channels=cfg["bottleneck_channels"])
     raise ValueError(name)
 
 
 def _loss_ref(name):
     import torch.nn.functional as F
 
-    if name == "vae":
+    if name in ("vae", "vd_vae"):
         def loss_fn(x, _, preds):
             preds, kl_div = preds
+            n = x.shape[0]
             recon = F.binary_cross_entropy_with_logits(
-                preds, x, reduction="none").sum(dim=(1, 2, 3))
+                preds.reshape(n, -1), x.reshape(n, -1),
+                reduction="none").sum(dim=1)
             elbo = recon + kl_div
             return {"loss": elbo.mean()}
+        return loss_fn
+
+    if name == "nice":
+        def loss_fn(x, _, preds):
+            z, log_det_J = preds
+            n = x.shape[0]
+            log_prob = -(F.softplus(z) + F.softplus(-z)).reshape(
+                n, -1).sum(dim=1)
+            return {"loss": -(log_prob + log_det_J).mean()}
+        return loss_fn
+
+    if name == "vq_vae":
+        def loss_fn(x, _, preds):
+            preds, vq_loss = preds
+            recon = F.mse_loss(preds, x)
+            return {"loss": recon + vq_loss}
         return loss_fn
 
     def loss_fn(x, _, preds):
@@ -245,61 +464,194 @@ def _loss_ref(name):
     return loss_fn
 
 
+def _perplexity_ref(model, ev, batch):
+    import torch
+
+    counts = np.zeros(model._quantizer._net[1].n_embeddings)
+    with torch.no_grad():
+        for i in range(0, len(ev), batch):
+            z = model._quantizer._net[0](model._encoder(ev[i:i + batch]))
+            flat = z.permute(0, 2, 3, 1).reshape(-1, z.shape[1])
+            emb = model._quantizer._net[1]._embedding
+            d = ((flat ** 2).sum(1, keepdim=True) + (emb ** 2).sum(1)
+                 - 2 * flat @ emb.t())
+            idxs = d.argmin(dim=1).numpy()
+            counts += np.bincount(idxs, minlength=len(counts))
+    p = counts / counts.sum()
+    return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+
 # ---------------------------------------------------------------------------
-# Protocol: per-model configs chosen to plateau in CPU-feasible time.
+# Protocol: per-model configs chosen to plateau in feasible time.
 # ---------------------------------------------------------------------------
 
 MODELS = {
-    # name: (cfg, epochs, batch, lr)
-    "nade": ({"hidden": 64}, 30, 128, 1e-3),
-    "made": ({"hidden": 128}, 60, 128, 1e-3),
-    "pixel_cnn": ({"n_residual": 2, "residual_channels": 8,
-                   "head_channels": 8}, 40, 128, 1e-3),
-    "vae": ({"latent_channels": 4, "hidden_channels": 16,
-             "residual_channels": 8}, 60, 128, 1e-3),
+    # The original CPU-parity quartet (round 2).
+    "nade": {"cfg": {"hidden": 64}, "epochs": 30, "batch": 128, "lr": 1e-3,
+             "variant": "binary"},
+    "made": {"cfg": {"hidden": 128}, "epochs": 60, "batch": 128, "lr": 1e-3,
+             "variant": "binary"},
+    "pixel_cnn": {"cfg": {"n_residual": 2, "residual_channels": 8,
+                          "head_channels": 8},
+                  "epochs": 40, "batch": 128, "lr": 1e-3,
+                  "variant": "binary"},
+    "vae": {"cfg": {"latent_channels": 4, "hidden_channels": 16,
+                    "residual_channels": 8},
+            "epochs": 60, "batch": 128, "lr": 1e-3, "variant": "binary"},
+    # Round 4: the flagship attention models (TPU Pallas-path rows) ...
+    "image_gpt": {"cfg": {"n_blocks": 2, "n_heads": 2, "channels": 32},
+                  "epochs": 40, "batch": 64, "lr": 1e-3, "n_train": 512,
+                  "variant": "binary"},
+    "pixel_snail": {"cfg": {"channels": 16, "n_blocks": 2, "n_residual": 1,
+                            "key_channels": 4, "value_channels": 8},
+                    "epochs": 30, "batch": 128, "lr": 1e-3,
+                    "variant": "binary"},
+    # ... and the remaining families.
+    "gated_pixel_cnn": {"cfg": {"n_gated": 2, "gated_channels": 16,
+                                "head_channels": 16},
+                        "epochs": 50, "batch": 128, "lr": 1e-3,
+                        "variant": "binary"},
+    "nice": {"cfg": {"n_blocks": 4, "n_layers": 2, "hidden": 128},
+             "epochs": 60, "batch": 128, "lr": 1e-3, "variant": "dequant"},
+    "vq_vae": {"cfg": {"hidden_channels": 32, "n_residual": 1,
+                       "residual_channels": 8, "n_embeddings": 64,
+                       "embedding_dim": 8},
+               "epochs": 60, "batch": 128, "lr": 1e-3, "variant": "binary"},
+    "vd_vae": {"cfg": {"stacks": [[1, 1], [1, 1]], "latent_channels": 2,
+                       "hidden_channels": 8, "bottleneck_channels": 4},
+               "epochs": 80, "batch": 128, "lr": 5e-4, "variant": "pad32"},
 }
+
+
+def _load_cache():
+    if os.path.exists(CACHE_PATH):
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_cache(cache):
+    with open(CACHE_PATH, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+
+
+def _model_data(name, spec, train_x, eval_x):
+    tx, ex = dataset_variant(train_x, eval_x, spec["variant"])
+    if "n_train" in spec:
+        tx = tx[: spec["n_train"]]
+    return tx, ex
+
+
+def _row_key(name, backend, dtype):
+    key = name
+    if backend == "tpu":
+        key += "_tpu"
+        if dtype == "bfloat16":
+            key += "_bf16"
+    return key
+
+
+def assemble_rows(cache):
+    """Pairs every ours-side cache entry with its torch baseline."""
+    rows = {}
+    for key, ours in cache.items():
+        if not key.startswith("ours/"):
+            continue
+        _, name, backend, dtype = key.split("/")
+        ref = cache.get(f"ref/{name}")
+        if ref is None:
+            continue
+        nll_ours, nll_ref = ours["nll"], ref["nll"]
+        rel = abs(nll_ours - nll_ref) / abs(nll_ref)
+        ok = rel <= REL_TOL
+        row = {
+            "model": name, "backend": backend, "dtype": dtype,
+            "nll_tpu_nats": round(nll_ours, 3),
+            "nll_ref_nats": round(nll_ref, 3),
+            "rel_diff": round(rel, 4),
+            "train_seconds_tpu_build": ours["seconds"],
+            "train_seconds_ref_cpu": ref["seconds"],
+        }
+        if ours.get("pallas_flash"):
+            row["pallas_flash"] = True
+        if name == "nice":
+            # Dequantized-input bits/dim, the reference README's headline
+            # unit for NICE (README.md:206-211).
+            from pytorch_generative_tpu.utils.evaluation import (
+                nats_to_bits_per_dim,
+            )
+            row["bits_per_dim_tpu"] = round(
+                nats_to_bits_per_dim(nll_ours, 784, dequantized=True), 4)
+            row["bits_per_dim_ref"] = round(
+                nats_to_bits_per_dim(nll_ref, 784, dequantized=True), 4)
+        elif name not in ("vq_vae",):
+            row["bits_per_dim_tpu"] = round(nll_ours / 784 / math.log(2), 4)
+            row["bits_per_dim_ref"] = round(nll_ref / 784 / math.log(2), 4)
+        if "perplexity" in ours and "perplexity" in ref:
+            prel = (abs(ours["perplexity"] - ref["perplexity"])
+                    / abs(ref["perplexity"]))
+            row["perplexity_tpu"] = round(ours["perplexity"], 2)
+            row["perplexity_ref"] = round(ref["perplexity"], 2)
+            row["perplexity_rel_diff"] = round(prel, 4)
+            ok = ok and prel <= PERPLEXITY_REL_TOL
+        row["within_tolerance"] = bool(ok)
+        rows[_row_key(name, backend, dtype)] = row
+    return rows
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--models", default=",".join(MODELS))
+    parser.add_argument("--models", default="nade,made,pixel_cnn,vae")
+    parser.add_argument("--side", default="both",
+                        choices=["both", "ours", "ref"])
+    parser.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     parser.add_argument("--record", action="store_true",
-                        help="write results into BASELINE_MEASURED.json")
-    parser.add_argument("--skip-ref", action="store_true",
-                        help="only run the TPU build side")
+                        help="write assembled rows into BASELINE_MEASURED.json")
     args = parser.parse_args()
 
-    train_x, eval_x = make_quality_dataset()
-    results = {}
-    for name in args.models.split(","):
-        cfg, epochs, batch, lr = MODELS[name]
-        t0 = time.time()
-        nll_ours = run_ours(name, cfg, train_x, eval_x, epochs, batch, lr)
-        t_ours = time.time() - t0
-        if args.skip_ref:
-            print(json.dumps({"model": name, "nll_tpu_nats": round(nll_ours, 3),
-                              "train_seconds_tpu_build": round(t_ours, 1)}))
-            continue
-        t0 = time.time()
-        nll_ref = run_ref(name, cfg, epochs=epochs, batch=batch, lr=lr,
-                          train_x=train_x, eval_x=eval_x)
-        t_ref = time.time() - t0
-        rel = abs(nll_ours - nll_ref) / nll_ref
-        row = {
-            "model": name,
-            "nll_tpu_nats": round(nll_ours, 3),
-            "nll_ref_nats": round(nll_ref, 3),
-            "rel_diff": round(rel, 4),
-            "within_tolerance": bool(rel <= REL_TOL),
-            "bits_per_dim_tpu": round(nll_ours / 784 / math.log(2), 4),
-            "bits_per_dim_ref": round(nll_ref / 784 / math.log(2), 4),
-            "train_seconds_tpu_build": round(t_ours, 1),
-            "train_seconds_ref_cpu": round(t_ref, 1),
-        }
-        results[name] = row
-        print(json.dumps(row))
+    if args.backend == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-    if args.record and results:
+    cache = _load_cache()
+    train_x, eval_x = make_quality_dataset()
+    for name in [m for m in args.models.split(",") if m]:
+        spec = MODELS[name]
+        tx, ex = _model_data(name, spec, train_x, eval_x)
+        if args.side in ("both", "ours"):
+            t0 = time.time()
+            nll, flash, extras = run_ours(name, spec, tx, ex,
+                                          backend=args.backend,
+                                          dtype=args.dtype)
+            entry = {"nll": nll, "seconds": round(time.time() - t0, 1),
+                     "pallas_flash": flash, **extras}
+            cache[f"ours/{name}/{args.backend}/{args.dtype}"] = entry
+            _save_cache(cache)
+            print(json.dumps({"side": "ours", "model": name,
+                              "backend": args.backend, "dtype": args.dtype,
+                              **{k: (round(v, 3)
+                                     if isinstance(v, float) else v)
+                                 for k, v in entry.items()}}), flush=True)
+        if args.side in ("both", "ref"):
+            t0 = time.time()
+            nll, extras = run_ref(name, spec, tx, ex)
+            entry = {"nll": nll, "seconds": round(time.time() - t0, 1),
+                     **extras}
+            cache[f"ref/{name}"] = entry
+            _save_cache(cache)
+            print(json.dumps({"side": "ref", "model": name,
+                              **{k: (round(v, 3)
+                                     if isinstance(v, float) else v)
+                                 for k, v in entry.items()}}), flush=True)
+
+    rows = assemble_rows(cache)
+    wanted = {m for m in args.models.split(",") if m}
+    shown = {k: v for k, v in rows.items() if v["model"] in wanted}
+    for key, row in sorted(shown.items()):
+        print(json.dumps({"row": key, **row}), flush=True)
+
+    if args.record and rows:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_MEASURED.json")
         with open(path) as f:
@@ -308,20 +660,24 @@ def main():
             "protocol": ("identical fixed synthetic mixture-of-prototypes "
                          "dataset (make_quality_dataset seed=7), identical "
                          "batch order, per-framework init RNG, trained to "
-                         "plateau on CPU in both frameworks, example-weighted "
-                         "eval NLL averaged over 8 RNG draws; see "
-                         "bench_quality.py"),
+                         "plateau in both frameworks (torch reference on "
+                         "CPU; this build on CPU and, for the *_tpu rows, "
+                         "on the real v5e through the Pallas flash kernels "
+                         "in f32 and bf16), example-weighted eval NLL "
+                         "averaged over 8 RNG draws; see bench_quality.py"),
             "tolerance_rel": REL_TOL,
-            "results": results,
+            "perplexity_tolerance_rel": PERPLEXITY_REL_TOL,
+            "results": dict(sorted(rows.items())),
         }
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
-        print(f"recorded quality_parity for {sorted(results)} -> {path}")
+        print(f"recorded quality_parity ({len(rows)} rows) -> {path}")
 
-    if results and not all(r["within_tolerance"] for r in results.values()):
+    if shown and not all(r["within_tolerance"] for r in shown.values()):
         raise SystemExit("quality parity OUTSIDE tolerance: "
                          + json.dumps({k: v["rel_diff"]
-                                       for k, v in results.items()}))
+                                       for k, v in shown.items()
+                                       if not v["within_tolerance"]}))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,12 @@ DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """A 1-D mesh over the first n_devices local devices."""
+    """A 1-D mesh over the first n_devices devices.
+
+    Under ``jax.distributed`` (multi-host) ``jax.devices()`` is the GLOBAL
+    device list, so the same call builds a DCN-spanning mesh — each host's
+    controller runs the identical program over its addressable slice.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
@@ -31,16 +36,30 @@ def make_mesh(n_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
 
 
+def _put(tree, sharding):
+    """device_put that also works on multi-host (non-fully-addressable)
+    shardings: every process holds the same host value (identical loaders /
+    identical init on all hosts — the SPMD contract), and each materializes
+    only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def to_global(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(to_global, tree)
+
+
 def replicate(tree, mesh: Mesh):
     """Places every array of `tree` fully replicated on the mesh."""
-    sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return _put(tree, NamedSharding(mesh, P()))
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Shards the leading (batch) axis of `batch` across the mesh."""
-    sharding = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(batch, sharding)
+    return _put(batch, NamedSharding(mesh, P(axis_name)))
 
 
 def pmean_tree(tree, axis_name: str = DATA_AXIS):

@@ -444,6 +444,94 @@ def test_multihost_flag_single_host_noop():
     assert train_cli.maybe_init_multihost() is False
 
 
+def test_multihost_two_process_dp_step(tmp_path):
+    """The REAL multi-host (DCN) path: a 2-process ``jax.distributed`` CPU
+    cluster (local coordinator, 4 forced devices per process, 8-device global
+    mesh) runs one Trainer DP train step through maybe_init_multihost /
+    make_mesh / shard_batch / the shard_map psum step — and the result equals
+    the single-process 8-device step on the same global batch."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_multihost_worker.py")
+    out_path = tmp_path / "multihost_result.json"
+    # Strip the axon TPU plugin env: this box's sitecustomize registers the
+    # PJRT plugin at interpreter start when PALLAS_AXON_POOL_IPS is set,
+    # which initializes a backend BEFORE jax.distributed.initialize and
+    # silently breaks process_count(). The workers are CPU-only.
+    env_base = {k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+                and not k.startswith("PALLAS_AXON")}
+    procs, logs = [], []
+    for pid in range(2):
+        env = dict(
+            env_base, JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(pid))
+        log = open(tmp_path / f"worker{pid}.log", "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(out_path)], env=env,
+            stdout=log, stderr=subprocess.STDOUT))
+    try:
+        for pid, p in enumerate(procs):
+            rc = p.wait(timeout=600)
+            if rc != 0:
+                logs[pid].flush()
+                raise AssertionError(
+                    f"worker {pid} rc={rc}:\n"
+                    + (tmp_path / f"worker{pid}.log").read_text()[-4000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+
+    got = json.loads(out_path.read_text())
+    assert got["n_processes"] == 2 and got["n_devices"] == 8
+
+    # Single-process comparison: identical model/batch/step on the in-process
+    # virtual 8-device mesh.
+    def loss_fn(x, _, preds):
+        n = x.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+
+    model = models.PixelCNN(jax.random.PRNGKey(0), in_channels=1,
+                            out_channels=1, n_residual=1,
+                            residual_channels=4, head_channels=4,
+                            in_shape=(8, 8, 1))
+    loader = debug.DummyLoader(shape=(8, 8, 1), batch_size=16)
+    t = trainer.Trainer(
+        model=model, loss_fn=loss_fn, optimizer=optax.sgd(0.1),
+        train_loader=loader, eval_loader=loader,
+        log_dir=str(tmp_path / "single"), n_devices=8, use_tensorboard=False)
+    x = (np.random.default_rng(0).random((16, 8, 8, 1)) > 0.5).astype(
+        np.float32)
+    metrics, _ = t.train_one_step(x, None)
+    want_loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    leaves = jax.tree_util.tree_leaves(jax.device_get(t._params))
+
+    np.testing.assert_allclose(got["loss"], want_loss, rtol=1e-5)
+    np.testing.assert_allclose(
+        got["param_sums"], [float(np.sum(l)) for l in leaves], rtol=1e-4,
+        atol=1e-6)
+    np.testing.assert_allclose(
+        got["param_l2"], [float(np.linalg.norm(l)) for l in leaves],
+        rtol=1e-4)
+
+
 def test_pixel_snail_tensor_parallel_matches_single_device():
     """PixelSNAIL with its residual-block channels Megatron-sharded over
     ('data', 'model') must match the unsharded step (PIXEL_SNAIL_TP_RULES)."""

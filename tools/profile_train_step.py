@@ -40,20 +40,35 @@ def run_and_trace():
     dtype = jnp.bfloat16 if os.environ.get("DTYPE", "bf16") == "bf16" \
         else jnp.float32
 
-    model = models.ImageGPT(
-        jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
-        n_transformer_blocks=nb, n_attention_heads=h, n_embedding_channels=c,
-        in_shape=(28, 28, 1), remat=os.environ.get("REMAT") == "1")
+    if os.environ.get("MODEL", "image_gpt") == "image_gpt_moe":
+        model = models.ImageGPTMoE(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=nb, n_attention_heads=h,
+            n_embedding_channels=c,
+            n_experts=int(os.environ.get("E", "8")),
+            n_selected=int(os.environ.get("TOPK", "1")),
+            in_shape=(28, 28, 1))
+    else:
+        model = models.ImageGPT(
+            jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=nb, n_attention_heads=h,
+            n_embedding_channels=c,
+            in_shape=(28, 28, 1), remat=os.environ.get("REMAT") == "1")
     tx, _ = optim_tpu.adam_multiplicative(5e-3, 0.999977)
     params, rest = core.partition(model)
     opt_state = tx.init(params)
 
     def loss_fn(params, x):
         m = core.cast_floating(core.combine(params, rest), dtype)
-        preds = m.forward(x.astype(dtype)).astype(jnp.float32)
+        preds = m.forward(x.astype(dtype))
+        aux = 0.0
+        if isinstance(preds, tuple):  # MoE: (logits, load-balance aux)
+            preds, aux = preds
+        preds = preds.astype(jnp.float32)
         n = x.shape[0]
         return optax.sigmoid_binary_cross_entropy(
-            preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+            preds.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean() \
+            + 0.01 * aux
 
     # Scan-chunked like bench.py: one device dispatch per chunk AND the same
     # compiled-step shape bench measures (the plain un-scanned step can hit a

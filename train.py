@@ -67,7 +67,17 @@ def maybe_init_multihost() -> bool:
         return False
     import jax
 
-    jax.distributed.initialize()
+    # Explicit rendezvous when the generic env vars are set (manual clusters,
+    # and the 2-process DCN test in tests/test_parallel.py); auto-detection
+    # (SLURM / cloud metadata) otherwise.
+    num_processes = os.environ.get("JAX_NUM_PROCESSES")
+    process_id = os.environ.get("JAX_PROCESS_ID")
+    if coordinator and num_processes is not None and process_id is not None:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=int(num_processes),
+                                   process_id=int(process_id))
+    else:
+        jax.distributed.initialize()
     return True
 
 
