@@ -425,6 +425,23 @@ def main():
         _emit("nade_sample_throughput", bench_sampler(nade, 16),
               "images/sec", sample_base)
 
+        def fvbn():
+            return models.FullyVisibleBeliefNetwork(
+                jax.random.PRNGKey(0), n_dims=784, in_shape=(28, 28, 1))
+
+        _emit("fvbn_sample_throughput", bench_sampler(fvbn, 16),
+              "images/sec", sample_base)
+
+        def nice():
+            return models.NICE(jax.random.PRNGKey(0), n_features=784,
+                               n_coupling_blocks=4, n_hidden_layers=5,
+                               n_hidden_features=1000, in_shape=(28, 28, 1))
+
+        # One inverse pass (Z -> X) per batch: sample 256 at once so the
+        # rate reflects the pass, not dispatch overhead.
+        _emit("nice_sample_throughput", bench_sampler(nice, 256),
+              "images/sec", sample_base)
+
         check_budget("secondary training")
         # --- Training throughput beyond the flagship: PixelCNN (masked-conv
         # family) and VQ-VAE (stateful EMA codebook path), reproduce() configs

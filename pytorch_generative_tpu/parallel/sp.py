@@ -42,12 +42,21 @@ def _sp_attention(attn, x_loc, axis_name: str):
     return attn.out_proj(out)
 
 
-def image_gpt_sp_forward(model, x, mesh: Mesh, axis_name: str = "seq"):
+def image_gpt_sp_forward(model, x, mesh: Mesh, axis_name: str = "seq",
+                         data_axis: str | None = None):
     """ImageGPT forward with the transformer middle sequence-sharded.
 
     Matches model.forward exactly (same per-block arithmetic, including the
     extra per-block skip, image_gpt.py:105-109) with the (N, L, C) sequence
     axis split over ``axis_name``.
+
+    With ``data_axis`` set (a second mesh axis), the batch axis is
+    additionally sharded over it — the FSDP x SP composition: parameters
+    enter the manual region replicated (in_specs P()), so ZeRO-3-sharded
+    leaves are all-gathered right before use and the parameter cotangent is
+    psum'd over BOTH axes (data = gradient sum over batch shards, seq =
+    gradient sum over sequence shards), which GSPMD then reduce-scatters
+    back into the FSDP layout at the optimizer.
     """
     h0 = model.input_conv(x + model.pos)
     n, h, w, c = h0.shape
@@ -68,7 +77,7 @@ def image_gpt_sp_forward(model, x, mesh: Mesh, axis_name: str = "seq"):
             t = t + (u + m)
         return t
 
-    spec = P(None, axis_name, None)
+    spec = P(data_axis, axis_name, None)
     bspec = jax.tree_util.tree_map(lambda _: P(), model.blocks)
     out = jax.shard_map(shard_fn, mesh=mesh, in_specs=(bspec, spec),
                         out_specs=spec, check_vma=False)(model.blocks, seq)
@@ -87,16 +96,20 @@ class SequenceParallelImageGPT(base.AutoregressiveModel):
     model: object
     mesh: Mesh = core.static_field()
     axis_name: str = core.static_field()
+    data_axis: str | None = core.static_field()
 
-    def __init__(self, model, mesh: Mesh, axis_name: str = "seq"):
+    def __init__(self, model, mesh: Mesh, axis_name: str = "seq",
+                 data_axis: str | None = None):
         super().__init__(in_shape=model.in_shape, sample_fn=model.sample_fn)
         self.model = model
         self.mesh = mesh
         self.axis_name = axis_name
+        self.data_axis = data_axis
 
     def forward(self, x, *, rng=None, training=False):
         del rng, training
-        return image_gpt_sp_forward(self.model, x, self.mesh, self.axis_name)
+        return image_gpt_sp_forward(self.model, x, self.mesh, self.axis_name,
+                                    data_axis=self.data_axis)
 
     def sample(self, rng, n_samples=None, conditioned_on=None):
         return self.model.sample(rng, n_samples=n_samples,
