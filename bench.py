@@ -665,10 +665,15 @@ def main():
         # routing and expert hidden width 4C the ACTIVE FLOPs per token match
         # dense ImageGPT's MLPs exactly (one 4C MLP each), so the dense-ratio
         # emitted with the headline is an at-matched-active-FLOPs comparison.
+        # cf=1.25 is the Switch paper's production capacity factor and
+        # group_size=98 the GShard group-size control; together they cut the
+        # routing overhead from 0.53x to ~0.75x dense on v5e (PERF.md "MoE
+        # routing" has the profile).
         moe = models.ImageGPTMoE(
             jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
             n_transformer_blocks=8, n_attention_heads=2,
-            n_embedding_channels=64, n_experts=8, in_shape=(28, 28, 1))
+            n_embedding_channels=64, n_experts=8, capacity_factor=1.25,
+            group_size=98, in_shape=(28, 28, 1))
 
         def moe_loss(x, _, preds):
             logits, aux = preds

@@ -39,7 +39,7 @@ class MoETransformerBlock(core.Module):
 
     def __init__(self, key, n_channels: int, n_attention_heads: int,
                  n_experts: int, capacity_factor: float = 2.0,
-                 n_selected: int = 1):
+                 n_selected: int = 1, group_size: int | None = None):
         k1, k2 = jax.random.split(key)
         self.ln1 = ChannelLayerNorm(n_channels)
         self.ln2 = ChannelLayerNorm(n_channels)
@@ -47,7 +47,8 @@ class MoETransformerBlock(core.Module):
             k1, in_channels=n_channels, n_heads=n_attention_heads,
             embed_channels=n_channels, out_channels=n_channels)
         self.moe = SparseMoE(k2, n_channels, 4 * n_channels, n_experts,
-                             capacity_factor, n_selected=n_selected)
+                             capacity_factor, n_selected=n_selected,
+                             group_size=group_size)
 
     def __call__(self, x, mesh=None, axis_name: str = "expert"):
         x = x + self.attn(self.ln1(x))
@@ -80,7 +81,8 @@ class ImageGPTMoE(base.AutoregressiveModel):
                  in_size: int = 28, n_transformer_blocks: int = 8,
                  n_attention_heads: int = 2, n_embedding_channels: int = 64,
                  n_experts: int = 8, capacity_factor: float = 2.0,
-                 n_selected: int = 1, in_shape=None, sample_fn=None):
+                 n_selected: int = 1, group_size: int | None = None,
+                 in_shape=None, sample_fn=None):
         in_shape = tuple(in_shape) if in_shape else (
             in_size, in_size, in_channels)
         super().__init__(in_shape=in_shape, sample_fn=sample_fn)
@@ -92,7 +94,7 @@ class ImageGPTMoE(base.AutoregressiveModel):
         self.blocks = tuple(
             MoETransformerBlock(keys[1 + i], n_embedding_channels,
                                 n_attention_heads, n_experts, capacity_factor,
-                                n_selected=n_selected)
+                                n_selected=n_selected, group_size=group_size)
             for i in range(n_transformer_blocks))
         self.ln = ChannelLayerNorm(n_embedding_channels)
         self.out_conv = Conv2d(keys[-1], n_embedding_channels, out_channels, 1)

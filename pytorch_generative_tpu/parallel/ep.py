@@ -73,6 +73,11 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
     # Per-group (per local sample) routing, matching the dense path: capacity
     # scales with the group's token count, not the whole local batch.
     group_tokens = x.size // x.shape[-1] // x.shape[0]
+    if moe.group_size is not None:
+        assert group_tokens % moe.group_size == 0, (
+            f"group_size {moe.group_size} must divide the per-sample token "
+            f"count {group_tokens}")
+        group_tokens = moe.group_size
     capacity = capacity_for(group_tokens * moe.n_selected, n_experts,
                             moe.capacity_factor)
 
@@ -80,6 +85,8 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
         m = moe.replace(gate=router_p, **expert_w)
         tokens = x_local.reshape(x_local.shape[0], -1,
                                  x_local.shape[-1])  # (G, Tg, C)
+        if moe.group_size is not None:
+            tokens = tokens.reshape(-1, moe.group_size, tokens.shape[-1])
         src, valid, slot, weight, aux = jax.vmap(
             lambda t: m.route_compact(t, capacity))(tokens)
         expert_in = jax.vmap(m.dispatch_compact)(tokens, src, valid)

@@ -401,3 +401,41 @@ def test_expert_parallel_rejects_2d_tokens():
     x2d = jnp.ones((16, 8))
     with pytest.raises(ValueError, match="leading batch axis"):
         parallel.moe_forward_expert_parallel(moe, x2d, mesh)
+
+
+def test_sparse_moe_group_size_matches_per_token_switch():
+    """With ample capacity, group_size routing is a pure reshape: each token's
+    output still equals gate_prob * mlp_{argmax}(token), independent of how
+    tokens are grouped — and a group_size equal to the per-sample token count
+    reproduces the default grouping bit-for-bit."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+
+    base = SparseMoE(key, n_channels=8, hidden_channels=16, n_experts=4,
+                     capacity_factor=4.0)  # no drops at either grouping
+    y_default, _ = base(x)
+
+    same = SparseMoE(key, n_channels=8, hidden_channels=16, n_experts=4,
+                     capacity_factor=4.0, group_size=16)
+    y_same, _ = same(x)
+    np.testing.assert_array_equal(np.asarray(y_default), np.asarray(y_same))
+
+    small = SparseMoE(key, n_channels=8, hidden_channels=16, n_experts=4,
+                      capacity_factor=4.0, group_size=4)
+    y_small, _ = small(x)
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_default),
+                               atol=1e-5)
+
+
+@needs_mesh
+def test_expert_parallel_group_size_matches_dense():
+    """EP with group_size == the dense forward with the same group_size
+    (capacity math must agree group-for-group across the two paths)."""
+    mesh8 = parallel.make_mesh(8, axis_name="expert")
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=16, hidden_channels=32,
+                    n_experts=8, capacity_factor=8.0, group_size=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 16))
+    y_dense, _ = moe(x)
+    y_ep, _ = parallel.moe_forward_expert_parallel(moe, x, mesh8)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
+                               atol=1e-5)

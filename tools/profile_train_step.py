@@ -47,6 +47,9 @@ def run_and_trace():
             n_embedding_channels=c,
             n_experts=int(os.environ.get("E", "8")),
             n_selected=int(os.environ.get("TOPK", "1")),
+            capacity_factor=float(os.environ.get("CF", "2.0")),
+            group_size=(int(os.environ["GS"]) if os.environ.get("GS")
+                        else None),
             in_shape=(28, 28, 1))
     else:
         model = models.ImageGPT(
