@@ -246,3 +246,174 @@ def stack_image_gpt_weights(model):
         "lnf_w": model.ln.scale[None, None, :],
         "lnf_b": model.ln.offset[None, None, :],
     }
+
+
+# ---------------------------------------------------------------------------
+# Whole-loop sampler: the ENTIRE raster scan in one pallas_call.
+# ---------------------------------------------------------------------------
+
+
+def _sample_loop_kernel(canvas0_ref, pos_ref, u_ref, in_w4, in_b, head_w,
+                        head_b, ln1_w, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                        ln2_w, ln2_b, mlp1_w, mlp1_b, mlp2_w, mlp2_b,
+                        lnf_w, lnf_b, canvas_ref, kv_ref, *, n_blocks,
+                        n_heads, d_k, d_v, h, w, seq_len):
+    """One raster position through the WHOLE block stack (grid = (tiles, L)).
+
+    Unlike ``_step_kernel`` (grid over blocks, cache re-fetched from HBM per
+    pixel), the packed K|V caches of ALL blocks live in a VMEM scratch that
+    persists across grid steps, so the only HBM traffic for an entire image
+    is the weights once, the uniforms (one (1, n) row per pixel) and the
+    final canvas write-back. The canvas (stored canvas+pos, in (position,
+    batch) layout so per-pixel updates are single-tile sublane writes) is the
+    OUTPUT ref itself; the 4-tap type-A masked input conv, the block stack,
+    the output head, the Bernoulli draw (uniform < sigmoid, exactly
+    jax.random.bernoulli's definition) and the inpainting merge all happen
+    in-kernel. Per-pixel XLA op count: zero.
+    """
+    i = pl.program_id(1)
+    wp = w + 2
+    c_k = n_heads * d_k
+    scale = 1.0 / (d_k ** 0.5)
+
+    @pl.when(i == 0)
+    def _init():
+        canvas_ref[:] = canvas0_ref[:]
+        kv_ref[:] = jnp.zeros_like(kv_ref)
+
+    row = i // w
+    col = i % w
+    p0 = row * wp + col
+
+    # --- masked 3x3 type-A input conv at (row, col): 4 live taps. ---
+    patch = jnp.concatenate(
+        [canvas_ref[pl.ds(p0, 1), :], canvas_ref[pl.ds(p0 + 1, 1), :],
+         canvas_ref[pl.ds(p0 + 2, 1), :], canvas_ref[pl.ds(p0 + wp, 1), :]],
+        axis=0)  # (4, n) raw canvas values
+    pos_taps = jnp.concatenate(
+        [pos_ref[pl.ds(p0, 1), :], pos_ref[pl.ds(p0 + 1, 1), :],
+         pos_ref[pl.ds(p0 + 2, 1), :], pos_ref[pl.ds(p0 + wp, 1), :]],
+        axis=0)  # (4, 1)
+    patch = patch + pos_taps
+    x = jax.lax.dot_general(patch, in_w4[:],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + in_b[:]
+
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (seq_len, 1), 0)
+    valid = pos_l <= i  # (L, 1), broadcasts over the batch lane dim
+
+    for b in range(n_blocks):
+        t = _ln(x, ln1_w[b], ln1_b[b])
+        qkv = jnp.dot(t, qkv_w[b], preferred_element_type=jnp.float32) \
+            + qkv_b[b]
+        kv_i = qkv[:, c_k:]
+        kv_ref[b, pl.ds(i, 1), :, :] = kv_i[None].astype(kv_ref.dtype)
+
+        head_outs = []
+        for hh in range(n_heads):
+            qh = qkv[:, hh * d_k:(hh + 1) * d_k] * scale       # (n, d_k)
+            kcol = kv_ref[b, :, :, hh * d_k:(hh + 1) * d_k].astype(
+                jnp.float32)                                    # (L, n, d_k)
+            vcol = kv_ref[b, :, :,
+                          c_k + hh * d_v:c_k + (hh + 1) * d_v].astype(
+                jnp.float32)                                    # (L, n, d_v)
+            s = jnp.sum(qh[None, :, :] * kcol, axis=-1)         # (L, n)
+            s = jnp.where(valid, s, _NEG_INF)
+            m = jnp.max(s, axis=0, keepdims=True)               # (1, n)
+            e = jnp.where(valid, jnp.exp(s - m), 0.0)
+            e = e / jnp.sum(e, axis=0, keepdims=True)
+            head_outs.append(jnp.sum(e[:, :, None] * vcol, axis=0))
+
+        attn = jnp.concatenate(head_outs, axis=-1)              # (n, H*d_v)
+        attn = jnp.dot(attn, out_w[b],
+                       preferred_element_type=jnp.float32) + out_b[b]
+        x1 = x + attn
+        tt = _ln(x1, ln2_w[b], ln2_b[b])
+        hmid = _gelu_exact(
+            jnp.dot(tt, mlp1_w[b], preferred_element_type=jnp.float32)
+            + mlp1_b[b])
+        mout = jnp.dot(hmid, mlp2_w[b],
+                       preferred_element_type=jnp.float32) + mlp2_b[b]
+        x = x + (x1 + mout)  # block residual + model-level extra skip
+
+    act = _ln(x, lnf_w[0], lnf_b[0])
+    logits = jnp.dot(act, head_w[:],
+                     preferred_element_type=jnp.float32) + head_b[:]  # (n, 1)
+    prob = jax.nn.sigmoid(logits)
+    sampled = (u_ref[0] < prob).astype(jnp.float32)             # (n, 1)
+    sampled_row = jnp.transpose(sampled, (1, 0))                # (1, n)
+
+    p_write = (row + 1) * wp + (col + 1)
+    cur = canvas_ref[pl.ds(p_write, 1), :]                      # (1, n)
+    merged = jnp.where(cur < 0.0, sampled_row, cur)
+    canvas_ref[pl.ds(p_write, 1), :] = merged
+
+
+def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
+                      d_k, d_v, h, w, cache_dtype=jnp.float32, tile=None,
+                      interpret=False):
+    """Runs the whole ImageGPT raster-scan sampler as ONE Pallas call.
+
+    Args:
+        canvas0: (Hp*Wp, N) f32 — zero-padded canvas flattened to
+            (position, batch) layout; inpainting markers are values < 0.
+            (The positional embedding is added at conv-tap read time, so
+            canvas writes stay exact — sampled pixels are stored as
+            bit-exact 0.0/1.0.)
+        pos_pad: (Hp*Wp, 1) f32 — the padded positional embedding (c == 1).
+        uniforms: (L, N, 1) f32 — per-position uniform draws, exactly
+            jax.random.uniform(split(rng, L)[i], (N, 1)).
+        weights: dict from :func:`stack_image_gpt_weights` plus ``in_w4`` (4,
+            C) live taps of the masked 3x3 type-A input conv, ``in_b`` (1,
+            C), ``head_w`` (C, 1), ``head_b`` (1, 1).
+        tile: batch tile size; the grid is (N // tile, L) and each tile runs
+            a full raster pass with its own VMEM-resident cache. Default:
+            whole batch.
+    Returns:
+        (Hp*Wp, N) f32 — the final canvas (still + pos; subtract pos_pad and
+        unflatten outside).
+    """
+    lp, n = canvas0.shape
+    seq_len = h * w
+    if tile is None:
+        tile = n
+    assert n % tile == 0, (n, tile)
+    f = n_heads * (d_k + d_v)
+    w_order = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b",
+               "ln2_w", "ln2_b", "mlp1_w", "mlp1_b", "mlp2_w", "mlp2_b",
+               "lnf_w", "lnf_b")
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *_, nd=nd: (0,) * nd)
+
+    kernel = functools.partial(
+        _sample_loop_kernel, n_blocks=n_blocks, n_heads=n_heads, d_k=d_k,
+        d_v=d_v, h=h, w=w, seq_len=seq_len)
+    in_specs = [
+        pl.BlockSpec((lp, tile), lambda t, i: (0, t)),          # canvas0
+        const_spec(pos_pad.shape),                              # pos_pad
+        pl.BlockSpec((1, tile, 1), lambda t, i: (i, t, 0)),     # uniforms
+        const_spec(weights["in_w4"].shape),
+        const_spec(weights["in_b"].shape),
+        const_spec(weights["head_w"].shape),
+        const_spec(weights["head_b"].shape),
+    ] + [const_spec(weights[k].shape) for k in w_order]
+    cache_bytes = n_blocks * seq_len * tile * f * jnp.dtype(
+        cache_dtype).itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tile, seq_len),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((lp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_blocks, seq_len, tile, f), cache_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(cache_bytes + 48 * 1024 * 1024,
+                                 120 * 1024 * 1024),
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(canvas0, pos_pad, uniforms, weights["in_w4"], weights["in_b"],
+      weights["head_w"], weights["head_b"], *[weights[k] for k in w_order])
+    return out

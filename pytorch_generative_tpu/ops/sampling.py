@@ -298,9 +298,82 @@ def gated_pixel_cnn_sample_fast(model, rng, n_samples=None, conditioned_on=None)
     return canvas[:, vpad_t:, cpad:-cpad, :]
 
 
-def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
+def _snail_loop_eligible(model):
+    """Whole-loop kernel eligibility for PixelSNAIL (mirrors
+    :func:`_whole_loop_eligible`)."""
+    from pytorch_generative_tpu.models.base import _default_sample_fn
+
+    h, w, c = model.in_shape
+    conv = model.input_conv
+    return (c == 1
+            and model.output_conv2.weight.shape[-1] == 1
+            and model.sample_fn is _default_sample_fn
+            and conv.weight.shape[:3] == (3, 3, 1)
+            and conv.padding == ((1, 1), (1, 1)))
+
+
+def _snail_loop_tile(model, n):
+    """Largest batch tile whose VMEM-resident caches stay under ~72 MB."""
+    from pytorch_generative_tpu.ops.snail_decode_pallas import _KSLOT
+
+    h, w, _ = model.in_shape
+    blocks = model.pixel_snail_blocks
+    n_rb = len(blocks[0].residual_blocks)
+    c_ch = model.input_conv.weight.shape[-1]
+    n_heads = blocks[0].attention.n_heads
+    per_row = 4 * (2 * len(blocks) * (h + 1) * (w + 1) * n_rb * c_ch
+                   + 2 * h * w * len(blocks) * n_heads * _KSLOT)
+    budget = 72 * 1024 * 1024
+    tile = n
+    while tile > 1 and (tile * per_row > budget or n % tile != 0):
+        tile //= 2
+    return tile if tile * per_row <= budget and n % tile == 0 else None
+
+
+def _pixel_snail_sample_loop(model, rng, n_samples, conditioned_on,
+                             interpret=False, tile=None):
+    """Whole-raster-scan PixelSNAIL sampling as ONE Pallas kernel
+    (ops/snail_decode_pallas.py). Same semantics as
+    :func:`pixel_snail_sample_fast` to float tolerance."""
+    from pytorch_generative_tpu.ops import snail_decode_pallas as sdp
+
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+    seq_len = h * w
+    blocks = model.pixel_snail_blocks
+    attn0 = blocks[0].attention
+    n_heads = attn0.n_heads
+    d_k = attn0.embed_channels // n_heads
+    d_v = attn0.out_channels // n_heads
+    c_ch = model.input_conv.weight.shape[-1]
+    if tile is None:
+        tile = _snail_loop_tile(model, n)
+    assert tile is not None and n % tile == 0
+
+    pad = 1
+    padded_canvas = jnp.pad(
+        conditioned_on, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    canvas0 = padded_canvas[..., 0].reshape(n, -1).T     # (Lp, n)
+    uniforms = jax.vmap(lambda k: jax.random.uniform(k, (n, 1)))(
+        jax.random.split(rng, seq_len))
+    weights = sdp.stack_pixel_snail_weights(model)
+    out = sdp.fused_snail_sample_loop(
+        canvas0, uniforms, weights, len(blocks),
+        len(blocks[0].residual_blocks), n_heads, d_k, d_v, h, w, c_ch,
+        tile=tile, interpret=interpret)
+    canvas = out.T.reshape(n, h + 2 * pad, w + 2 * pad, 1)
+    return canvas[:, pad:-pad, pad:-pad, :]
+
+
+def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None,
+                            use_loop_kernel=None):
     """Incremental-decoding sampler for PixelSNAIL: per-layer activation caches
     for the 2x2 residual convs + per-block attention KV caches.
+
+    On TPU (auto mode), eligible models run the whole-loop Pallas kernel
+    instead (ops/snail_decode_pallas.py — the entire raster scan in one
+    kernel, caches VMEM-resident; PGT_SAMPLE_LOOP=0 or
+    PGT_NO_FUSED_DECODE=1 disables).
 
     Correctness subtleties handled exactly:
       * All conv/residual features at position i depend only on canvas pixels
@@ -313,6 +386,16 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None):
         attends to nothing and contributes exactly out_proj(0) (the bias).
     Exact equivalence with the naive sampler is tested.
     """
+    if use_loop_kernel is None:
+        n = (n_samples if n_samples is not None else conditioned_on.shape[0])
+        use_loop_kernel = (jax.default_backend() != "cpu"
+                           and os.environ.get("PGT_NO_FUSED_DECODE") != "1"
+                           and os.environ.get("PGT_SAMPLE_LOOP", "1") != "0"
+                           and _snail_loop_eligible(model)
+                           and (_snail_loop_tile(model, n) or 0) >= 8)
+    if use_loop_kernel:
+        return _pixel_snail_sample_loop(model, rng, n_samples, conditioned_on)
+
     conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
     n, h, w, c = conditioned_on.shape
     seq_len = h * w
@@ -617,6 +700,83 @@ def _image_gpt_decode_fused(model, rng, n_samples, conditioned_on,
     return carry[0][:, pad:-pad, pad:-pad, :]
 
 
+def _whole_loop_eligible(model, n):
+    """The single-kernel raster sampler handles the common ImageGPT shape:
+    1-channel images, 3x3/pad-1 type-A input conv, default Bernoulli
+    sample_fn (the kernel draws uniform < sigmoid, which IS
+    jax.random.bernoulli's definition — models/base.py:28-30)."""
+    from pytorch_generative_tpu.models.base import _default_sample_fn
+
+    h, w, c = model.in_shape
+    conv = model.input_conv
+    return (c == 1
+            and model.out_conv.weight.shape[-1] == 1
+            and model.sample_fn is _default_sample_fn
+            and conv.weight.shape[:3] == (3, 3, 1)
+            and conv.padding == ((1, 1), (1, 1)))
+
+
+def _sample_loop_tile(model, n, cache_dtype):
+    """Largest batch tile whose VMEM-resident cache stays under ~56 MB."""
+    h, w, _ = model.in_shape
+    attn = model.blocks[0].attn
+    f = attn.embed_channels + attn.out_channels
+    per_row = len(model.blocks) * h * w * f * jnp.dtype(cache_dtype).itemsize
+    budget = 56 * 1024 * 1024
+    tile = n
+    while tile > 1 and (tile * per_row > budget or n % tile != 0):
+        tile //= 2
+    return tile if tile * per_row <= budget and n % tile == 0 else None
+
+
+def _image_gpt_sample_loop(model, rng, n_samples, conditioned_on,
+                           interpret=False, cache_dtype=None, tile=None):
+    """Whole-raster-scan sampling as ONE Pallas kernel (decode_pallas.py::
+    fused_sample_loop): KV caches VMEM-resident across all H*W positions,
+    canvas updates / Bernoulli draws / inpainting merge in-kernel. Same
+    semantics as :func:`_image_gpt_decode` to float tolerance."""
+    from pytorch_generative_tpu.ops import decode_pallas as dp
+
+    if cache_dtype is None:
+        cache_dtype = jnp.dtype(
+            os.environ.get("PGT_DECODE_CACHE_DTYPE", "float32"))
+    conditioned_on = model._get_conditioned_on(n_samples, conditioned_on)
+    n, h, w, c = conditioned_on.shape
+    seq_len = h * w
+    attn0 = model.blocks[0].attn
+    n_heads = attn0.n_heads
+    d_k = attn0.embed_channels // n_heads
+    d_v = attn0.out_channels // n_heads
+    if tile is None:
+        tile = _sample_loop_tile(model, n, cache_dtype)
+    assert tile is not None and n % tile == 0
+
+    pad = 1
+    padded_pos = jnp.pad(model.pos[0], ((pad, pad), (pad, pad), (0, 0)))
+    pos_col = padded_pos[..., 0].reshape(-1, 1)          # (Lp, 1)
+    padded_canvas = jnp.pad(
+        conditioned_on, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    canvas0 = padded_canvas[..., 0].reshape(n, -1).T     # (Lp, n), raw
+
+    uniforms = jax.vmap(lambda k: jax.random.uniform(k, (n, 1)))(
+        jax.random.split(rng, seq_len))                  # (L, n, 1)
+
+    weights = dp.stack_image_gpt_weights(model)
+    wm = model.input_conv.weight * model.input_conv.mask  # (3, 3, 1, C)
+    weights["in_w4"] = jnp.stack(
+        [wm[0, 0, 0], wm[0, 1, 0], wm[0, 2, 0], wm[1, 0, 0]])
+    weights["in_b"] = model.input_conv.bias[None]
+    weights["head_w"] = model.out_conv.weight[0, 0]      # (C, 1)
+    weights["head_b"] = model.out_conv.bias[None]        # (1, 1)
+
+    out = dp.fused_sample_loop(
+        canvas0, pos_col, uniforms, weights, len(model.blocks), n_heads,
+        d_k, d_v, h, w, cache_dtype=cache_dtype, tile=tile,
+        interpret=interpret)
+    canvas = out.T.reshape(n, h + 2 * pad, w + 2 * pad, 1)
+    return canvas[:, pad:-pad, pad:-pad, :]
+
+
 def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
                           use_fused_step=None):
     """Incremental-decoding sampler for ImageGPT; exact inpainting semantics.
@@ -626,13 +786,13 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
         rng: jax.random key.
         n_samples / conditioned_on: As in AutoregressiveModel.sample.
         use_fused_step: If True, run each pixel's block stack as one Pallas
-            kernel (ops/decode_pallas.py) — the default on TPU for small
-            sample batches (n <= PGT_FUSED_DECODE_MAX_N, default 32), where
-            the XLA path is op-dispatch-bound (measured on v5e: 54 -> 121
-            img/s at n=16, 54 -> 141 at n=32). At large n both paths are
-            cache-bandwidth-bound and XLA's einsums stream closer to peak
-            HBM bandwidth (n=64: XLA 180 vs fused 146), so auto mode keeps
-            XLA there. CPU defaults to the XLA path, which is
+            kernel per position (ops/decode_pallas.py::fused_decode_step);
+            if None (auto) on TPU, the sampler first tries the whole-loop
+            kernel (fused_sample_loop: the ENTIRE raster scan in one Pallas
+            call, KV caches VMEM-resident, zero per-pixel XLA ops — batch-
+            tiled so any n works; PGT_SAMPLE_LOOP=0 disables), then the
+            per-position kernel for n <= PGT_FUSED_DECODE_MAX_N (default
+            32), then the XLA scan. CPU defaults to the XLA path, which is
             bitwise-equal to the naive sampler. PGT_NO_FUSED_DECODE=1
             forces the XLA path everywhere.
     Returns:
@@ -640,10 +800,19 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
     """
     if use_fused_step is None:
         n = n_samples if n_samples is not None else conditioned_on.shape[0]
+        on_tpu = (jax.default_backend() != "cpu"
+                  and os.environ.get("PGT_NO_FUSED_DECODE") != "1")
+        if (on_tpu and os.environ.get("PGT_SAMPLE_LOOP", "1") != "0"
+                and _whole_loop_eligible(model, n)):
+            cache_dtype = jnp.dtype(
+                os.environ.get("PGT_DECODE_CACHE_DTYPE", "float32"))
+            tile = _sample_loop_tile(model, n, cache_dtype)
+            if tile is not None and tile >= 8:
+                return _image_gpt_sample_loop(
+                    model, rng, n_samples, conditioned_on,
+                    cache_dtype=cache_dtype, tile=tile)
         max_n = int(os.environ.get("PGT_FUSED_DECODE_MAX_N", "32"))
-        use_fused_step = (jax.default_backend() != "cpu"
-                          and os.environ.get("PGT_NO_FUSED_DECODE") != "1"
-                          and n <= max_n)
+        use_fused_step = on_tpu and n <= max_n
     if use_fused_step:
         return _image_gpt_decode_fused(model, rng, n_samples, conditioned_on)
 

@@ -1,0 +1,291 @@
+"""Whole-loop fused sampler for PixelSNAIL (Pallas).
+
+Same construction as ops/decode_pallas.py::fused_sample_loop for ImageGPT:
+the ENTIRE raster scan runs in one pallas_call with grid (batch_tiles, H*W).
+All per-pixel state lives in VMEM scratch that persists across grid steps —
+the per-(block, residual-block) elu/mid activation maps for the 2x2 convs,
+the per-block attention K/V caches, and the canvas (the output ref itself) —
+so per pixel there are ZERO XLA ops and zero HBM round-trips. The XLA
+incremental sampler (ops/sampling.py::pixel_snail_sample_fast) is
+op-dispatch-bound at ~250 tiny ops per pixel; this kernel replaces them with
+a handful of (n, C) matmuls and VPU reductions on VMEM-resident state.
+
+Semantics match pixel_snail_sample_fast exactly (same post-merge K/V append,
+same strict mask_center attention with the denom==0 guard, same inpainting
+merge); the Bernoulli draw is uniform < sigmoid — jax.random.bernoulli's
+definition (models/base.py:28-30) — with uniforms precomputed per position
+from the same split keys. Equivalence is float-tolerance (MXU/VPU op
+ordering), tested in interpret mode in tests/test_sampling.py.
+
+Cache layouts (per batch tile of n samples, f32):
+  elu/mid maps: (B, (h+1)*(w+1), n, R*C) — the R residual blocks packed on
+    the lane axis (R*C = 128 at the reproduce config: zero padding waste);
+    2x2 pad-1-crop convs read the 4 flat taps {p, p+1, p+(w+1), p+(w+1)+1}.
+  K/V: (L, n, B*32) with each block's keys zero-padded from d_k to a
+    32-lane aligned slot (the padded lanes contribute exactly 0 to scores).
+
+Reference parity target: the per-pixel step of
+/root/reference/pytorch_generative/models/autoregressive/pixel_snail.py
+(sampling contract models/base.py:97-120).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float("-inf")
+_KSLOT = 32  # per-block lane slot for (zero-padded) keys and values
+
+
+def _elu(x):
+    return jnp.where(x > 0, x, jnp.expm1(x))
+
+
+def _snail_loop_kernel(canvas0_ref, u_ref, in_w4, in_b, rb1_w, rb1_b, rb2_w,
+                       rb2_b, q_w, q_b, kv_w, kv_b, op_w, op_b, ro_w, ro_b,
+                       ao_w, ao_b, o_w, o_b, h1_w, h1_b, h2_w, h2_b,
+                       canvas_ref, elu_c, mid_c, k_all, v_all, *, n_blocks,
+                       n_rb, n_heads, d_k, d_v, h, w, c_ch, seq_len):
+    i = pl.program_id(1)
+    wp = w + 2   # padded canvas width (3x3 input conv, pad 1)
+    wc = w + 1   # conv-cache width (2x2 convs, pad-1-crop)
+    n = canvas0_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        canvas_ref[:] = canvas0_ref[:]
+        elu_c[:] = jnp.zeros_like(elu_c)
+        mid_c[:] = jnp.zeros_like(mid_c)
+        v_all[:] = jnp.zeros_like(v_all)
+        k_all[:] = jnp.zeros_like(k_all)
+
+    row = i // w
+    col = i % w
+
+    # --- masked 3x3 type-A input conv (raw canvas, 4 live taps). ---
+    p0 = row * wp + col
+    patch = jnp.concatenate(
+        [canvas_ref[pl.ds(p0, 1), :], canvas_ref[pl.ds(p0 + 1, 1), :],
+         canvas_ref[pl.ds(p0 + 2, 1), :], canvas_ref[pl.ds(p0 + wp, 1), :]],
+        axis=0)  # (4, n)
+    x = jax.lax.dot_general(patch, in_w4[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + in_b[:]
+
+    # Conv-cache flat coordinates: entry (r+1, c+1) holds position (r, c).
+    pw2 = (row + 1) * wc + (col + 1)           # current entry
+    t0 = row * wc + col                        # 2x2 patch taps
+    taps = (t0, t0 + 1, t0 + wc, t0 + wc + 1)
+
+    pos_l = jax.lax.broadcasted_iota(jnp.int32, (seq_len, 1), 0)
+    valid = pos_l < i  # strict: mask_center attention
+
+    pos2 = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.float32)
+         + (row.astype(jnp.float32) / h - 0.5),
+         jnp.zeros((n, 1), jnp.float32)
+         + (col.astype(jnp.float32) / w - 0.5)], axis=-1)  # (n, 2)
+
+    def conv2x2(cache_ref, b, lane0, width, wmat, bias):
+        """Sum of 4 tap matmuls == the 2x2 pad-1-crop conv at (row, col)."""
+        out = bias
+        for kk, tp in enumerate(taps):
+            tap = cache_ref[b, pl.ds(tp, 1), :, :][0, :, lane0:lane0 + width]
+            out = out + jnp.dot(tap, wmat[kk],
+                                preferred_element_type=jnp.float32)
+        return out
+
+    q_ins = []
+    for b in range(n_blocks):
+        res = x
+        for j in range(n_rb):
+            lane0 = j * c_ch
+            ev = _elu(res)
+            elu_c[b, pl.ds(pw2, 1), :, lane0:lane0 + c_ch] = ev[None]
+            mid = _elu(conv2x2(elu_c, b, lane0, c_ch, rb1_w[b, j],
+                               rb1_b[b, j]))
+            mid_c[b, pl.ds(pw2, 1), :, lane0:lane0 + c_ch] = mid[None]
+            out2 = conv2x2(mid_c, b, lane0, c_ch, rb2_w[b, j], rb2_b[b, j])
+            res = res + out2[:, :c_ch] * jax.nn.sigmoid(out2[:, c_ch:])
+
+        q_in = jnp.concatenate([pos2, res], axis=-1)       # (n, C+2)
+        q = jnp.dot(q_in, q_w[b],
+                    preferred_element_type=jnp.float32) + q_b[b]  # (n, H*dk)
+        head_outs = []
+        for hh in range(n_heads):
+            qh = q[:, hh * d_k:(hh + 1) * d_k] / (d_k ** 0.5)
+            # Keys are zero-padded to the 32-lane slot, so summing over the
+            # full slot equals the d_k-dim dot product exactly.
+            qp = jnp.concatenate(
+                [qh, jnp.zeros((n, _KSLOT - d_k), jnp.float32)], axis=-1)
+            slot = (b * n_heads + hh) * _KSLOT
+            kh = k_all[:, :, slot:slot + _KSLOT]            # (L, n, 32)
+            s = jnp.sum(qp[None, :, :] * kh, axis=-1)       # (L, n)
+            s = jnp.where(valid, s, _NEG_INF)
+            m = jnp.max(s, axis=0, keepdims=True)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            e = jnp.where(valid, jnp.exp(s - m), 0.0)
+            den = jnp.sum(e, axis=0, keepdims=True)
+            e = e / jnp.where(den == 0.0, 1.0, den)
+            vh = v_all[:, :, slot:slot + _KSLOT]            # (L, n, 32)
+            head_outs.append(
+                jnp.sum(e[:, :, None] * vh, axis=0)[:, :d_v])  # (n, d_v)
+        att = jnp.concatenate(head_outs, axis=-1) if n_heads > 1 \
+            else head_outs[0]
+        att = jnp.dot(att, op_w[b],
+                      preferred_element_type=jnp.float32) + op_b[b]
+
+        res2 = _elu(jnp.dot(_elu(res), ro_w[b],
+                            preferred_element_type=jnp.float32) + ro_b[b])
+        att2 = _elu(jnp.dot(_elu(att), ao_w[b],
+                            preferred_element_type=jnp.float32) + ao_b[b])
+        block_out = _elu(jnp.dot(_elu(res2 + att2), o_w[b],
+                                 preferred_element_type=jnp.float32) + o_b[b])
+        q_ins.append(q_in)
+        x = x + block_out
+
+    mid_h = jnp.dot(x, h1_w[:], preferred_element_type=jnp.float32) + h1_b[:]
+    logits = jnp.dot(mid_h, h2_w[:],
+                     preferred_element_type=jnp.float32) + h2_b[:]  # (n, 1)
+    prob = jax.nn.sigmoid(logits)
+    sampled = (u_ref[0] < prob).astype(jnp.float32)        # (n, 1)
+    sampled_row = jnp.transpose(sampled, (1, 0))           # (1, n)
+
+    p_write = (row + 1) * wp + (col + 1)
+    cur = canvas_ref[pl.ds(p_write, 1), :]
+    merged = jnp.where(cur < 0.0, sampled_row, cur)
+    canvas_ref[pl.ds(p_write, 1), :] = merged
+    merged_n = jnp.transpose(merged, (1, 0))               # (n, 1)
+
+    # Post-merge K/V append: k_i/v_i read the *merged* pixel (extra_x).
+    for b in range(n_blocks):
+        kv_in = jnp.concatenate([q_ins[b], merged_n], axis=-1)  # (n, C+3)
+        kv = jnp.dot(kv_in, kv_w[b],
+                     preferred_element_type=jnp.float32) + kv_b[b]
+        for hh in range(n_heads):
+            slot = (b * n_heads + hh) * _KSLOT
+            kh = kv[:, hh * d_k:(hh + 1) * d_k]
+            vh = kv[:, n_heads * d_k + hh * d_v:n_heads * d_k
+                    + (hh + 1) * d_v]
+            kp = jnp.concatenate(
+                [kh, jnp.zeros((n, _KSLOT - d_k), jnp.float32)], axis=-1)
+            vp = jnp.concatenate(
+                [vh, jnp.zeros((n, _KSLOT - d_v), jnp.float32)], axis=-1)
+            k_all[pl.ds(i, 1), :, slot:slot + _KSLOT] = kp[None]
+            v_all[pl.ds(i, 1), :, slot:slot + _KSLOT] = vp[None]
+
+
+def stack_pixel_snail_weights(model):
+    """Stacks PixelSNAIL parameters for the whole-loop sampler kernel."""
+    blocks = model.pixel_snail_blocks
+    wm = model.input_conv.weight * model.input_conv.mask   # (3, 3, 1, C)
+
+    def conv2x2_taps(conv):
+        # (2, 2, Ci, Co) -> (4, Ci, Co), tap order (0,0),(0,1),(1,0),(1,1).
+        return conv.weight.reshape(4, *conv.weight.shape[2:])
+
+    def w1x1(conv):
+        return conv.weight[0, 0]
+
+    return {
+        "in_w4": jnp.stack([wm[0, 0, 0], wm[0, 1, 0], wm[0, 2, 0],
+                            wm[1, 0, 0]]),
+        "in_b": model.input_conv.bias[None],
+        "rb1_w": jnp.stack([jnp.stack([conv2x2_taps(rb.input_conv)
+                                       for rb in blk.residual_blocks])
+                            for blk in blocks]),
+        "rb1_b": jnp.stack([jnp.stack([rb.input_conv.bias[None]
+                                       for rb in blk.residual_blocks])
+                            for blk in blocks]),
+        "rb2_w": jnp.stack([jnp.stack([conv2x2_taps(rb.output_conv)
+                                       for rb in blk.residual_blocks])
+                            for blk in blocks]),
+        "rb2_b": jnp.stack([jnp.stack([rb.output_conv.bias[None]
+                                       for rb in blk.residual_blocks])
+                            for blk in blocks]),
+        "q_w": jnp.stack([w1x1(blk.attention.q_proj) for blk in blocks]),
+        "q_b": jnp.stack([blk.attention.q_proj.bias[None] for blk in blocks]),
+        "kv_w": jnp.stack([w1x1(blk.attention.kv_proj) for blk in blocks]),
+        "kv_b": jnp.stack([blk.attention.kv_proj.bias[None]
+                           for blk in blocks]),
+        "op_w": jnp.stack([w1x1(blk.attention.out_proj) for blk in blocks]),
+        "op_b": jnp.stack([blk.attention.out_proj.bias[None]
+                           for blk in blocks]),
+        "ro_w": jnp.stack([w1x1(blk.residual_out) for blk in blocks]),
+        "ro_b": jnp.stack([blk.residual_out.bias[None] for blk in blocks]),
+        "ao_w": jnp.stack([w1x1(blk.attention_out) for blk in blocks]),
+        "ao_b": jnp.stack([blk.attention_out.bias[None] for blk in blocks]),
+        "o_w": jnp.stack([w1x1(blk.out) for blk in blocks]),
+        "o_b": jnp.stack([blk.out.bias[None] for blk in blocks]),
+        "h1_w": w1x1(model.output_conv1),
+        "h1_b": model.output_conv1.bias[None],
+        "h2_w": w1x1(model.output_conv2),
+        "h2_b": model.output_conv2.bias[None],
+    }
+
+
+W_ORDER = ("in_w4", "in_b", "rb1_w", "rb1_b", "rb2_w", "rb2_b", "q_w", "q_b",
+           "kv_w", "kv_b", "op_w", "op_b", "ro_w", "ro_b", "ao_w", "ao_b",
+           "o_w", "o_b", "h1_w", "h1_b", "h2_w", "h2_b")
+
+
+def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
+                            n_heads, d_k, d_v, h, w, c_ch, tile=None,
+                            interpret=False):
+    """Runs the whole PixelSNAIL raster-scan sampler as ONE Pallas call.
+
+    Args:
+        canvas0: (Hp*Wp, N) f32 — zero-padded raw canvas, (position, batch)
+            layout; inpainting markers are values < 0.
+        uniforms: (L, N, 1) f32 per-position uniform draws.
+        weights: dict from :func:`stack_pixel_snail_weights`.
+        c_ch: model channel width (n_channels).
+        tile: batch tile; grid is (N // tile, L).
+    Returns:
+        (Hp*Wp, N) f32 final canvas.
+    """
+    lp, n = canvas0.shape
+    seq_len = h * w
+    if tile is None:
+        tile = n
+    assert n % tile == 0, (n, tile)
+    lc = (h + 1) * (w + 1)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda *_, nd=nd: (0,) * nd)
+
+    kernel = functools.partial(
+        _snail_loop_kernel, n_blocks=n_blocks, n_rb=n_rb, n_heads=n_heads,
+        d_k=d_k, d_v=d_v, h=h, w=w, c_ch=c_ch, seq_len=seq_len)
+    in_specs = [
+        pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
+        pl.BlockSpec((1, tile, 1), lambda t, i: (i, t, 0)),
+    ] + [const_spec(weights[k].shape) for k in W_ORDER]
+    kv_lanes = n_blocks * n_heads * _KSLOT
+    scratch = [
+        pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),  # elu
+        pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),  # mid
+        pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),          # K
+        pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),          # V
+    ]
+    cache_bytes = 4 * (2 * n_blocks * lc * tile * n_rb * c_ch
+                       + 2 * seq_len * tile * kv_lanes)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // tile, seq_len),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
+        out_shape=jax.ShapeDtypeStruct((lp, n), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(cache_bytes + 40 * 1024 * 1024,
+                                 120 * 1024 * 1024),
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(canvas0, uniforms, *[weights[k] for k in W_ORDER])
+    return out

@@ -194,3 +194,103 @@ def test_fused_decode_sampler_matches_xla_path():
                                              interpret=True)
     np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     np.testing.assert_array_equal(np.asarray(b[:, :4]), 1.0)
+
+
+def test_whole_loop_sampler_matches_xla_path():
+    """The single-kernel raster sampler (ops/decode_pallas.py::
+    fused_sample_loop, interpret mode) == the XLA fast path: free sampling,
+    batch tiling, inpainting, and a nonzero positional embedding."""
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    m = models.ImageGPT(
+        KEY, in_channels=1, out_channels=1, in_size=8, n_transformer_blocks=3,
+        n_attention_heads=2, n_embedding_channels=32, in_shape=(8, 8, 1))
+    # pos is zero-init; randomize it so the kernel's tap-time pos handling
+    # is actually exercised.
+    m = m.replace(pos=jax.random.normal(jax.random.PRNGKey(42),
+                                        m.pos.shape) * 0.1)
+    rng = jax.random.PRNGKey(7)
+    xla = sampling_ops.image_gpt_sample_fast(m, rng, n_samples=4,
+                                             use_fused_step=False)
+    loop = sampling_ops._image_gpt_sample_loop(m, rng, 4, None,
+                                               interpret=True, tile=4)
+    np.testing.assert_array_equal(np.asarray(loop), np.asarray(xla))
+
+    tiled = sampling_ops._image_gpt_sample_loop(m, rng, 4, None,
+                                                interpret=True, tile=2)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(xla))
+
+    cond = -jnp.ones((2, 8, 8, 1))
+    cond = cond.at[:, :4].set(1.0)
+    a = sampling_ops.image_gpt_sample_fast(m, rng, conditioned_on=cond,
+                                           use_fused_step=False)
+    b = sampling_ops._image_gpt_sample_loop(m, rng, None, cond,
+                                            interpret=True, tile=2)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(b[:, :4]), 1.0)
+
+
+def test_whole_loop_sampler_gating():
+    """Eligibility and tile sizing: default sample_fn + 1-channel 3x3 conv
+    qualifies; a custom sample_fn or multi-channel input does not; the tile
+    fits the VMEM budget and divides the batch."""
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    m = models.ImageGPT(
+        KEY, in_channels=1, out_channels=1, in_size=28,
+        n_transformer_blocks=8, n_attention_heads=2,
+        n_embedding_channels=64, in_shape=(28, 28, 1))
+    assert sampling_ops._whole_loop_eligible(m, 16)
+    custom = m.replace(sample_fn=lambda rng, logits: logits)
+    assert not sampling_ops._whole_loop_eligible(custom, 16)
+
+    t32 = sampling_ops._sample_loop_tile(m, 64, jnp.dtype(jnp.float32))
+    assert t32 is not None and 64 % t32 == 0 and t32 <= 16
+    tb = sampling_ops._sample_loop_tile(m, 64, jnp.dtype(jnp.bfloat16))
+    assert tb is not None and tb == 2 * t32
+
+
+def test_snail_whole_loop_sampler_matches_xla_path():
+    """PixelSNAIL's single-kernel raster sampler (ops/snail_decode_pallas.py,
+    interpret mode) == the XLA incremental sampler: free sampling, batch
+    tiling, inpainting."""
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    m = models.PixelSNAIL(
+        KEY, in_channels=1, out_channels=1, n_channels=16,
+        n_pixel_snail_blocks=2, n_residual_blocks=2,
+        attention_key_channels=4, attention_value_channels=8,
+        in_shape=(8, 8, 1))
+    rng = jax.random.PRNGKey(7)
+    xla = sampling_ops.pixel_snail_sample_fast(m, rng, n_samples=4,
+                                               use_loop_kernel=False)
+    loop = sampling_ops._pixel_snail_sample_loop(m, rng, 4, None,
+                                                 interpret=True, tile=4)
+    np.testing.assert_array_equal(np.asarray(loop), np.asarray(xla))
+    tiled = sampling_ops._pixel_snail_sample_loop(m, rng, 4, None,
+                                                  interpret=True, tile=2)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(xla))
+
+    cond = -jnp.ones((2, 8, 8, 1))
+    cond = cond.at[:, :4].set(1.0)
+    a = sampling_ops.pixel_snail_sample_fast(m, rng, conditioned_on=cond,
+                                             use_loop_kernel=False)
+    b = sampling_ops._pixel_snail_sample_loop(m, rng, None, cond,
+                                              interpret=True, tile=2)
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(b[:, :4]), 1.0)
+
+
+def test_snail_whole_loop_gating():
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    m = models.PixelSNAIL(
+        KEY, in_channels=1, out_channels=1, n_channels=64,
+        n_pixel_snail_blocks=8, n_residual_blocks=2,
+        attention_key_channels=4, attention_value_channels=32,
+        in_shape=(28, 28, 1))
+    assert sampling_ops._snail_loop_eligible(m)
+    custom = m.replace(sample_fn=lambda rng, logits: logits)
+    assert not sampling_ops._snail_loop_eligible(custom)
+    t = sampling_ops._snail_loop_tile(m, 16)
+    assert t is not None and 16 % t == 0 and t >= 8
