@@ -366,9 +366,12 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
         weights: dict from :func:`stack_image_gpt_weights` plus ``in_w4`` (4,
             C) live taps of the masked 3x3 type-A input conv, ``in_b`` (1,
             C), ``head_w`` (C, 1), ``head_b`` (1, 1).
-        tile: batch tile size; the grid is (N // tile, L) and each tile runs
-            a full raster pass with its own VMEM-resident cache. Default:
-            whole batch.
+        tile: batch tile size; each tile runs a full raster pass with its
+            own VMEM-resident cache, chunked by an outer ``lax.map`` (the
+            Mosaic lane-dim rule forbids sub-128 lane BLOCKS of a wider
+            array, but a whole array of ``tile`` lanes is fine — and the
+            tile loop is serial on one core either way). Default: whole
+            batch.
     Returns:
         (Hp*Wp, N) f32 — the final canvas (still + pos; subtract pos_pad and
         unflatten outside).
@@ -390,30 +393,41 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
     kernel = functools.partial(
         _sample_loop_kernel, n_blocks=n_blocks, n_heads=n_heads, d_k=d_k,
         d_v=d_v, h=h, w=w, seq_len=seq_len)
-    in_specs = [
-        pl.BlockSpec((lp, tile), lambda t, i: (0, t)),          # canvas0
-        const_spec(pos_pad.shape),                              # pos_pad
-        pl.BlockSpec((1, tile, 1), lambda t, i: (i, t, 0)),     # uniforms
-        const_spec(weights["in_w4"].shape),
-        const_spec(weights["in_b"].shape),
-        const_spec(weights["head_w"].shape),
-        const_spec(weights["head_b"].shape),
-    ] + [const_spec(weights[k].shape) for k in w_order]
     cache_bytes = n_blocks * seq_len * tile * f * jnp.dtype(
         cache_dtype).itemsize
-    out = pl.pallas_call(
-        kernel,
-        grid=(n // tile, seq_len),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
-        out_shape=jax.ShapeDtypeStruct((lp, n), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_blocks, seq_len, tile, f), cache_dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(cache_bytes + 48 * 1024 * 1024,
-                                 120 * 1024 * 1024),
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(canvas0, pos_pad, uniforms, weights["in_w4"], weights["in_b"],
-      weights["head_w"], weights["head_b"], *[weights[k] for k in w_order])
-    return out
+
+    def one_tile(canvas_c, uniforms_c):
+        in_specs = [
+            pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),       # canvas0
+            const_spec(pos_pad.shape),                           # pos_pad
+            pl.BlockSpec((1, tile, 1), lambda t, i: (i, 0, 0)),  # uniforms
+            const_spec(weights["in_w4"].shape),
+            const_spec(weights["in_b"].shape),
+            const_spec(weights["head_w"].shape),
+            const_spec(weights["head_b"].shape),
+        ] + [const_spec(weights[k].shape) for k in w_order]
+        return pl.pallas_call(
+            kernel,
+            grid=(1, seq_len),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((lp, tile), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_blocks, seq_len, tile, f), cache_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(cache_bytes + 48 * 1024 * 1024,
+                                     120 * 1024 * 1024),
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(canvas_c, pos_pad, uniforms_c, weights["in_w4"], weights["in_b"],
+          weights["head_w"], weights["head_b"],
+          *[weights[k] for k in w_order])
+
+    if tile == n:
+        return one_tile(canvas0, uniforms)
+    # Unrolled (not lax.map): XLA dedupes the identical pallas computation,
+    # and map's stacked carry operands get forced into scoped VMEM, which
+    # OOMs at large n (measured at n=256).
+    outs = [one_tile(canvas0[:, t:t + tile], uniforms[:, t:t + tile])
+            for t in range(0, n, tile)]
+    return jnp.concatenate(outs, axis=1)

@@ -244,7 +244,10 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
         uniforms: (L, N, 1) f32 per-position uniform draws.
         weights: dict from :func:`stack_pixel_snail_weights`.
         c_ch: model channel width (n_channels).
-        tile: batch tile; grid is (N // tile, L).
+        tile: batch tile; tiles run as an outer ``lax.map`` over inner
+            whole-tile pallas_calls (Mosaic forbids sub-128 lane BLOCKS of
+            a wider array; a whole ``tile``-lane array is legal, and the
+            tile loop is serial on one core either way).
     Returns:
         (Hp*Wp, N) f32 final canvas.
     """
@@ -262,30 +265,40 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
     kernel = functools.partial(
         _snail_loop_kernel, n_blocks=n_blocks, n_rb=n_rb, n_heads=n_heads,
         d_k=d_k, d_v=d_v, h=h, w=w, c_ch=c_ch, seq_len=seq_len)
-    in_specs = [
-        pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
-        pl.BlockSpec((1, tile, 1), lambda t, i: (i, t, 0)),
-    ] + [const_spec(weights[k].shape) for k in W_ORDER]
     kv_lanes = n_blocks * n_heads * _KSLOT
-    scratch = [
-        pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),  # elu
-        pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),  # mid
-        pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),          # K
-        pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),          # V
-    ]
     cache_bytes = 4 * (2 * n_blocks * lc * tile * n_rb * c_ch
                        + 2 * seq_len * tile * kv_lanes)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n // tile, seq_len),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, t)),
-        out_shape=jax.ShapeDtypeStruct((lp, n), jnp.float32),
-        scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(cache_bytes + 40 * 1024 * 1024,
-                                 120 * 1024 * 1024),
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(canvas0, uniforms, *[weights[k] for k in W_ORDER])
-    return out
+
+    def one_tile(canvas_c, uniforms_c):
+        in_specs = [
+            pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda t, i: (i, 0, 0)),
+        ] + [const_spec(weights[k].shape) for k in W_ORDER]
+        scratch = [
+            pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),
+            pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),
+            pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),      # K
+            pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),      # V
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=(1, seq_len),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((lp, tile), jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(cache_bytes + 40 * 1024 * 1024,
+                                     120 * 1024 * 1024),
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(canvas_c, uniforms_c, *[weights[k] for k in W_ORDER])
+
+    if tile == n:
+        return one_tile(canvas0, uniforms)
+    # Unrolled (not lax.map): XLA dedupes the identical pallas computation,
+    # and map's stacked carry operands get forced into scoped VMEM, which
+    # OOMs at large n (measured at n=256 for the ImageGPT loop).
+    outs = [one_tile(canvas0[:, t:t + tile], uniforms[:, t:t + tile])
+            for t in range(0, n, tile)]
+    return jnp.concatenate(outs, axis=1)
