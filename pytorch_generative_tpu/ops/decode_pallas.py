@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -254,32 +255,60 @@ def stack_image_gpt_weights(model):
 
 
 def _sample_loop_kernel(canvas0_ref, pos_ref, u_ref, in_w4, in_b, head_w,
-                        head_b, ln1_w, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                        head_b, fselk_ref, fselv_ref, qsel_ref, expsel_ref,
+                        dmask_ref, ln1_w, ln1_b, qkv_w, qkv_b, out_w, out_b,
                         ln2_w, ln2_b, mlp1_w, mlp1_b, mlp2_w, mlp2_b,
-                        lnf_w, lnf_b, canvas_ref, kv_ref, *, n_blocks,
-                        n_heads, d_k, d_v, h, w, seq_len):
-    """One raster position through the WHOLE block stack (grid = (tiles, L)).
+                        lnf_w, lnf_b, canvas_ref, kf_ref,
+                        vf_ref, *, n_blocks, n_heads, d_k, d_v, h, w,
+                        seq_len):
+    """One raster position through the WHOLE block stack (grid = (1, L)).
 
     Unlike ``_step_kernel`` (grid over blocks, cache re-fetched from HBM per
-    pixel), the packed K|V caches of ALL blocks live in a VMEM scratch that
-    persists across grid steps, so the only HBM traffic for an entire image
-    is the weights once, the uniforms (one (1, n) row per pixel) and the
-    final canvas write-back. The canvas (stored canvas+pos, in (position,
-    batch) layout so per-pixel updates are single-tile sublane writes) is the
+    pixel), the K/V caches of ALL blocks live in VMEM scratches that persist
+    across grid steps, so the only HBM traffic for an entire image is the
+    weights once, the uniforms (one (1, n) row per pixel) and the final
+    canvas write-back. The canvas (stored canvas+pos, in (position, batch)
+    layout so per-pixel updates are single-tile sublane writes) is the
     OUTPUT ref itself; the 4-tap type-A masked input conv, the block stack,
     the output head, the Bernoulli draw (uniform < sigmoid, exactly
     jax.random.bernoulli's definition) and the inpainting merge all happen
     in-kernel. Per-pixel XLA op count: zero.
+
+    Attention runs on the MXU, not the VPU. The first-cut per-head VPU
+    formulation (broadcast multiply + minor-lane reduce over (L, n, d_k))
+    measured 98.7 img/s at n=16 — SLOWER than the per-position fused step —
+    because minor-dim reductions are cross-lane shuffle chains. Mosaic also
+    cannot shape-cast across the sublane/lane boundary ((n, c) -> (1, n*c)),
+    so everything is expressed with static 0/1 masks instead of reshapes:
+
+    - caches are FLAT, K (L, n*c_k) / V (L, n*c_v), sample-major columns
+      p = j*c + cc; a row is built as sum_sublanes(tile(k, n) * fsel) where
+      fsel[j, p] = [p // c == j];
+    - scores fold q into the K operand: S (L, n*H) =
+      (Kflat * q_row) @ qsel, with q_row the fsel-flattened scaled q and
+      qsel[p, (j,h)] = [p in sample j, head h] summing each group — ONE
+      matmul for all heads and samples;
+    - softmax normalizes S columnwise (sublane reduces, cheap), then
+      E (L, n*H) is expanded to per-channel columns Eexp = E @ expsel and
+      the weighted sum is a columnwise product-reduce
+      attn_row = sum_L(Eexp * Vflat) (1, n*c_v);
+    - the output projection consumes attn_row block-diagonally:
+      (attn_row * dmask) @ out_w_tiled, where out_w_tiled vertically tiles
+      out_w n times — extraction folded into the matmul that was already
+      there.
     """
     i = pl.program_id(1)
     wp = w + 2
     c_k = n_heads * d_k
+    c_v = n_heads * d_v
+    tile = canvas_ref.shape[1]
     scale = 1.0 / (d_k ** 0.5)
 
     @pl.when(i == 0)
     def _init():
         canvas_ref[:] = canvas0_ref[:]
-        kv_ref[:] = jnp.zeros_like(kv_ref)
+        kf_ref[:] = jnp.zeros_like(kf_ref)
+        vf_ref[:] = jnp.zeros_like(vf_ref)
 
     row = i // w
     col = i % w
@@ -302,30 +331,36 @@ def _sample_loop_kernel(canvas0_ref, pos_ref, u_ref, in_w4, in_b, head_w,
     pos_l = jax.lax.broadcasted_iota(jnp.int32, (seq_len, 1), 0)
     valid = pos_l <= i  # (L, 1), broadcasts over the batch lane dim
 
+    def flat_row(vals, fsel):
+        """(n, c) -> (1, n*c) sample-major row, no shape cast."""
+        rep = jnp.concatenate([vals] * tile, axis=1)        # (n, n*c)
+        return jnp.sum(rep * fsel, axis=0, keepdims=True)
+
     for b in range(n_blocks):
         t = _ln(x, ln1_w[b], ln1_b[b])
         qkv = jnp.dot(t, qkv_w[b], preferred_element_type=jnp.float32) \
             + qkv_b[b]
-        kv_i = qkv[:, c_k:]
-        kv_ref[b, pl.ds(i, 1), :, :] = kv_i[None].astype(kv_ref.dtype)
+        k_i = qkv[:, c_k:2 * c_k]                               # (n, c_k)
+        v_i = qkv[:, 2 * c_k:]                                  # (n, c_v)
+        kf_ref[b, pl.ds(i, 1), :] = flat_row(
+            k_i, fselk_ref[:]).astype(kf_ref.dtype)
+        vf_ref[b, pl.ds(i, 1), :] = flat_row(
+            v_i, fselv_ref[:]).astype(vf_ref.dtype)
 
-        head_outs = []
-        for hh in range(n_heads):
-            qh = qkv[:, hh * d_k:(hh + 1) * d_k] * scale       # (n, d_k)
-            kcol = kv_ref[b, :, :, hh * d_k:(hh + 1) * d_k].astype(
-                jnp.float32)                                    # (L, n, d_k)
-            vcol = kv_ref[b, :, :,
-                          c_k + hh * d_v:c_k + (hh + 1) * d_v].astype(
-                jnp.float32)                                    # (L, n, d_v)
-            s = jnp.sum(qh[None, :, :] * kcol, axis=-1)         # (L, n)
-            s = jnp.where(valid, s, _NEG_INF)
-            m = jnp.max(s, axis=0, keepdims=True)               # (1, n)
-            e = jnp.where(valid, jnp.exp(s - m), 0.0)
-            e = e / jnp.sum(e, axis=0, keepdims=True)
-            head_outs.append(jnp.sum(e[:, :, None] * vcol, axis=0))
-
-        attn = jnp.concatenate(head_outs, axis=-1)              # (n, H*d_v)
-        attn = jnp.dot(attn, out_w[b],
+        q_row = flat_row(qkv[:, :c_k] * scale, fselk_ref[:])    # (1, n*c_k)
+        kflat = kf_ref[b].astype(jnp.float32)                   # (L, n*c_k)
+        s = jax.lax.dot_general(kflat * q_row, qsel_ref[:],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(valid, s, _NEG_INF)                       # (L, n*H)
+        m = jnp.max(s, axis=0, keepdims=True)                   # (1, n*H)
+        e = jnp.where(valid, jnp.exp(s - m), 0.0)
+        e = e / jnp.sum(e, axis=0, keepdims=True)
+        eexp = jnp.dot(e, expsel_ref[:],
+                       preferred_element_type=jnp.float32)      # (L, n*c_v)
+        vflat = vf_ref[b].astype(jnp.float32)                   # (L, n*c_v)
+        attn_row = jnp.sum(eexp * vflat, axis=0, keepdims=True)
+        attn = jnp.dot(attn_row * dmask_ref[:], out_w[b],
                        preferred_element_type=jnp.float32) + out_b[b]
         x1 = x + attn
         tt = _ln(x1, ln2_w[b], ln2_b[b])
@@ -381,14 +416,40 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
     if tile is None:
         tile = n
     assert n % tile == 0, (n, tile)
-    f = n_heads * (d_k + d_v)
-    w_order = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w", "out_b",
+    c_k = n_heads * d_k
+    c_v = n_heads * d_v
+    f = c_k + c_v
+    w_order = ("ln1_w", "ln1_b", "qkv_w", "qkv_b", "out_w_tiled", "out_b",
                "ln2_w", "ln2_b", "mlp1_w", "mlp1_b", "mlp2_w", "mlp2_b",
                "lnf_w", "lnf_b")
 
     def const_spec(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda *_, nd=nd: (0,) * nd)
+
+    # Static selectors for the MXU attention (see _sample_loop_kernel's
+    # docstring): row-flatten masks, the scores group-sum, the E column
+    # expansion, and the block-diagonal redistribution of attn_row.
+    j_n = np.arange(tile)
+    p_k = np.arange(tile * c_k)
+    p_v = np.arange(tile * c_v)
+    col_jh = np.arange(tile * n_heads)
+    fselk = (p_k[None, :] // c_k == j_n[:, None]).astype(np.float32)
+    fselv = (p_v[None, :] // c_v == j_n[:, None]).astype(np.float32)
+    qsel = ((p_k[:, None] // c_k == col_jh[None, :] // n_heads)
+            & ((p_k[:, None] % c_k) // d_k == col_jh[None, :] % n_heads)
+            ).astype(np.float32)
+    expsel = ((col_jh[:, None] // n_heads == p_v[None, :] // c_v)
+              & (col_jh[:, None] % n_heads == (p_v[None, :] % c_v) // d_v)
+              ).astype(np.float32)
+    dmask = fselv
+    fselk = jnp.asarray(fselk)
+    fselv = jnp.asarray(fselv)
+    qsel = jnp.asarray(qsel)
+    expsel = jnp.asarray(expsel)
+    dmask = jnp.asarray(dmask)
+    weights = dict(weights)
+    weights["out_w_tiled"] = jnp.tile(weights["out_w"], (1, tile, 1))
 
     kernel = functools.partial(
         _sample_loop_kernel, n_blocks=n_blocks, n_heads=n_heads, d_k=d_k,
@@ -405,6 +466,11 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
             const_spec(weights["in_b"].shape),
             const_spec(weights["head_w"].shape),
             const_spec(weights["head_b"].shape),
+            const_spec(fselk.shape),
+            const_spec(fselv.shape),
+            const_spec(qsel.shape),
+            const_spec(expsel.shape),
+            const_spec(dmask.shape),
         ] + [const_spec(weights[k].shape) for k in w_order]
         return pl.pallas_call(
             kernel,
@@ -413,15 +479,16 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
             out_specs=pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((lp, tile), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((n_blocks, seq_len, tile, f), cache_dtype)],
+                pltpu.VMEM((n_blocks, seq_len, tile * c_k), cache_dtype),
+                pltpu.VMEM((n_blocks, seq_len, tile * c_v), cache_dtype)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=min(cache_bytes + 48 * 1024 * 1024,
                                      120 * 1024 * 1024),
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(canvas_c, pos_pad, uniforms_c, weights["in_w4"], weights["in_b"],
-          weights["head_w"], weights["head_b"],
-          *[weights[k] for k in w_order])
+          weights["head_w"], weights["head_b"], fselk, fselv, qsel, expsel,
+          dmask, *[weights[k] for k in w_order])
 
     if tile == n:
         return one_tile(canvas0, uniforms)
