@@ -492,9 +492,18 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
 
     if tile == n:
         return one_tile(canvas0, uniforms)
-    # Unrolled (not lax.map): XLA dedupes the identical pallas computation,
-    # and map's stacked carry operands get forced into scoped VMEM, which
-    # OOMs at large n (measured at n=256).
-    outs = [one_tile(canvas0[:, t:t + tile], uniforms[:, t:t + tile])
-            for t in range(0, n, tile)]
-    return jnp.concatenate(outs, axis=1)
+    # fori_loop + dynamic slices, NOT lax.map or unrolling: map's stacked
+    # carry operands get forced into scoped VMEM and OOM at large n
+    # (measured at n=256), and unrolled calls compile the kernel once per
+    # tile (~19 min at n=256). This compiles ONE kernel for any n.
+    nt = n // tile
+
+    def body(t, acc):
+        c = jax.lax.dynamic_slice(canvas0, (0, t * tile), (lp, tile))
+        u = jax.lax.dynamic_slice(uniforms, (0, t * tile, 0),
+                                  (seq_len, tile, 1))
+        return jax.lax.dynamic_update_slice(acc, one_tile(c, u),
+                                            (0, t * tile))
+
+    return jax.lax.fori_loop(0, nt, body,
+                             jnp.zeros((lp, n), jnp.float32))

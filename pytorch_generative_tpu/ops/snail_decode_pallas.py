@@ -21,8 +21,10 @@ Cache layouts (per batch tile of n samples, f32):
   elu/mid maps: (B, (h+1)*(w+1), n, R*C) — the R residual blocks packed on
     the lane axis (R*C = 128 at the reproduce config: zero padding waste);
     2x2 pad-1-crop convs read the 4 flat taps {p, p+1, p+(w+1), p+(w+1)+1}.
-  K/V: (L, n, B*32) with each block's keys zero-padded from d_k to a
-    32-lane aligned slot (the padded lanes contribute exactly 0 to scores).
+  K/V: (B*H, L, n*32) FLAT per-(block, head) slabs, keys zero-padded from
+    d_k to the 32-lane slot (padded lanes contribute exactly 0 to scores);
+    attention runs on the MXU with static slot masks, mirroring
+    decode_pallas.py::_sample_loop_kernel.
 
 Reference parity target: the per-pixel step of
 /root/reference/pytorch_generative/models/autoregressive/pixel_snail.py
@@ -35,11 +37,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float("-inf")
 _KSLOT = 32  # per-block lane slot for (zero-padded) keys and values
+
+
+def _pad_slot(x, n):
+    """Zero-pads (n, d) to (n, _KSLOT); Mosaic rejects zero-width
+    concatenands, so d == _KSLOT returns x unchanged."""
+    d = x.shape[-1]
+    if d == _KSLOT:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((n, _KSLOT - d), jnp.float32)], axis=-1)
 
 
 def _elu(x):
@@ -49,11 +62,12 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _snail_loop_kernel(canvas0_ref, u_ref, in_w4, in_b, rb1_w, rb1_b, rb2_w,
-                       rb2_b, q_w, q_b, kv_w, kv_b, op_w, op_b, ro_w, ro_b,
-                       ao_w, ao_b, o_w, o_b, h1_w, h1_b, h2_w, h2_b,
-                       canvas_ref, elu_c, mid_c, k_all, v_all, *, n_blocks,
-                       n_rb, n_heads, d_k, d_v, h, w, c_ch, seq_len):
+def _snail_loop_kernel(canvas0_ref, u_ref, fslot_ref, qselt_ref, in_w4, in_b,
+                       rb1_w, rb1_b, rb2_w, rb2_b, q_w, q_b, kv_w, kv_b,
+                       op_wt, op_b, ro_w, ro_b, ao_w, ao_b, o_w, o_b, h1_w,
+                       h1_b, h2_w, h2_b, canvas_ref, elu_c, mid_c, k_all,
+                       v_all, *, n_blocks, n_rb, n_heads, d_k, d_v, h, w,
+                       c_ch, seq_len):
     i = pl.program_id(1)
     wp = w + 2   # padded canvas width (3x3 input conv, pad 1)
     wc = w + 1   # conv-cache width (2x2 convs, pad-1-crop)
@@ -118,29 +132,34 @@ def _snail_loop_kernel(canvas0_ref, u_ref, in_w4, in_b, rb1_w, rb1_b, rb2_w,
         q_in = jnp.concatenate([pos2, res], axis=-1)       # (n, C+2)
         q = jnp.dot(q_in, q_w[b],
                     preferred_element_type=jnp.float32) + q_b[b]  # (n, H*dk)
-        head_outs = []
+        # MXU attention over flat (L, n*_KSLOT) caches — same static-mask
+        # algebra as decode_pallas.py::_sample_loop_kernel (the per-head VPU
+        # broadcast/minor-lane-reduce formulation is shuffle-chain-bound).
+        # Keys/queries are zero-padded to the 32-lane slot, so summing the
+        # full slot equals the d_k-dim dot product exactly, and the
+        # per-sample block extraction is folded into the (zero-row-padded,
+        # vertically tiled) output projection op_wt.
+        att = op_b[b]
         for hh in range(n_heads):
-            qh = q[:, hh * d_k:(hh + 1) * d_k] / (d_k ** 0.5)
-            # Keys are zero-padded to the 32-lane slot, so summing over the
-            # full slot equals the d_k-dim dot product exactly.
-            qp = jnp.concatenate(
-                [qh, jnp.zeros((n, _KSLOT - d_k), jnp.float32)], axis=-1)
-            slot = (b * n_heads + hh) * _KSLOT
-            kh = k_all[:, :, slot:slot + _KSLOT]            # (L, n, 32)
-            s = jnp.sum(qp[None, :, :] * kh, axis=-1)       # (L, n)
-            s = jnp.where(valid, s, _NEG_INF)
+            qp = _pad_slot(q[:, hh * d_k:(hh + 1) * d_k] / (d_k ** 0.5), n)
+            q_row = jnp.sum(jnp.concatenate([qp] * n, axis=1) * fslot_ref[:],
+                            axis=0, keepdims=True)          # (1, n*K)
+            kflat = k_all[b * n_heads + hh]                 # (L, n*K)
+            s = jax.lax.dot_general(kflat * q_row, qselt_ref[:],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s, _NEG_INF)               # (L, n)
             m = jnp.max(s, axis=0, keepdims=True)
             m = jnp.where(jnp.isfinite(m), m, 0.0)
             e = jnp.where(valid, jnp.exp(s - m), 0.0)
             den = jnp.sum(e, axis=0, keepdims=True)
             e = e / jnp.where(den == 0.0, 1.0, den)
-            vh = v_all[:, :, slot:slot + _KSLOT]            # (L, n, 32)
-            head_outs.append(
-                jnp.sum(e[:, :, None] * vh, axis=0)[:, :d_v])  # (n, d_v)
-        att = jnp.concatenate(head_outs, axis=-1) if n_heads > 1 \
-            else head_outs[0]
-        att = jnp.dot(att, op_w[b],
-                      preferred_element_type=jnp.float32) + op_b[b]
+            eexp = jnp.dot(e, fslot_ref[:],
+                           preferred_element_type=jnp.float32)  # (L, n*K)
+            attn_row = jnp.sum(eexp * v_all[b * n_heads + hh], axis=0,
+                               keepdims=True)               # (1, n*K)
+            att = att + jnp.dot(attn_row * fslot_ref[:], op_wt[b, hh],
+                                preferred_element_type=jnp.float32)
 
         res2 = _elu(jnp.dot(_elu(res), ro_w[b],
                             preferred_element_type=jnp.float32) + ro_b[b])
@@ -170,16 +189,17 @@ def _snail_loop_kernel(canvas0_ref, u_ref, in_w4, in_b, rb1_w, rb1_b, rb2_w,
         kv = jnp.dot(kv_in, kv_w[b],
                      preferred_element_type=jnp.float32) + kv_b[b]
         for hh in range(n_heads):
-            slot = (b * n_heads + hh) * _KSLOT
             kh = kv[:, hh * d_k:(hh + 1) * d_k]
             vh = kv[:, n_heads * d_k + hh * d_v:n_heads * d_k
                     + (hh + 1) * d_v]
-            kp = jnp.concatenate(
-                [kh, jnp.zeros((n, _KSLOT - d_k), jnp.float32)], axis=-1)
-            vp = jnp.concatenate(
-                [vh, jnp.zeros((n, _KSLOT - d_v), jnp.float32)], axis=-1)
-            k_all[pl.ds(i, 1), :, slot:slot + _KSLOT] = kp[None]
-            v_all[pl.ds(i, 1), :, slot:slot + _KSLOT] = vp[None]
+            kp = _pad_slot(kh, n)
+            vp = _pad_slot(vh, n)
+            k_row = jnp.sum(jnp.concatenate([kp] * n, axis=1) * fslot_ref[:],
+                            axis=0, keepdims=True)          # (1, n*K)
+            v_row = jnp.sum(jnp.concatenate([vp] * n, axis=1) * fslot_ref[:],
+                            axis=0, keepdims=True)
+            k_all[b * n_heads + hh, pl.ds(i, 1), :] = k_row
+            v_all[b * n_heads + hh, pl.ds(i, 1), :] = v_row
 
 
 def stack_pixel_snail_weights(model):
@@ -232,8 +252,8 @@ def stack_pixel_snail_weights(model):
 
 
 W_ORDER = ("in_w4", "in_b", "rb1_w", "rb1_b", "rb2_w", "rb2_b", "q_w", "q_b",
-           "kv_w", "kv_b", "op_w", "op_b", "ro_w", "ro_b", "ao_w", "ao_b",
-           "o_w", "o_b", "h1_w", "h1_b", "h2_w", "h2_b")
+           "kv_w", "kv_b", "op_w_tiled", "op_b", "ro_w", "ro_b", "ao_w",
+           "ao_b", "o_w", "o_b", "h1_w", "h1_b", "h2_w", "h2_b")
 
 
 def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
@@ -247,7 +267,7 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
         uniforms: (L, N, 1) f32 per-position uniform draws.
         weights: dict from :func:`stack_pixel_snail_weights`.
         c_ch: model channel width (n_channels).
-        tile: batch tile; tiles run as an outer ``lax.map`` over inner
+        tile: batch tile; tiles run inside a ``lax.fori_loop`` over inner
             whole-tile pallas_calls (Mosaic forbids sub-128 lane BLOCKS of
             a wider array; a whole ``tile``-lane array is legal, and the
             tile loop is serial on one core either way).
@@ -265,6 +285,22 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
         nd = len(shape)
         return pl.BlockSpec(shape, lambda *_, nd=nd: (0,) * nd)
 
+    # Static masks for the MXU attention (kernel docstring): fslot flattens
+    # per-sample slot rows / expands E / redistributes attn_row; its
+    # transpose sums each sample's slot group in the scores matmul. op_w is
+    # zero-row-padded to the slot width and vertically tiled per sample so
+    # diagonal-block extraction folds into the output projection.
+    j_n = np.arange(tile)
+    p_s = np.arange(tile * _KSLOT)
+    fslot = (p_s[None, :] // _KSLOT == j_n[:, None]).astype(np.float32)
+    fslot = jnp.asarray(fslot)
+    qselt = fslot.T.copy()
+    op_w = weights["op_w"]  # (n_blocks, H*d_v, C)
+    opw_heads = op_w.reshape(op_w.shape[0], n_heads, d_v, op_w.shape[-1])
+    opw_pad = jnp.pad(opw_heads, ((0, 0), (0, 0), (0, _KSLOT - d_v), (0, 0)))
+    weights = dict(weights)
+    weights["op_w_tiled"] = jnp.tile(opw_pad, (1, 1, tile, 1))
+
     kernel = functools.partial(
         _snail_loop_kernel, n_blocks=n_blocks, n_rb=n_rb, n_heads=n_heads,
         d_k=d_k, d_v=d_v, h=h, w=w, c_ch=c_ch, seq_len=seq_len)
@@ -276,12 +312,16 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
         in_specs = [
             pl.BlockSpec((lp, tile), lambda t, i: (0, 0)),
             pl.BlockSpec((1, tile, 1), lambda t, i: (i, 0, 0)),
+            const_spec(fslot.shape),
+            const_spec(qselt.shape),
         ] + [const_spec(weights[k].shape) for k in W_ORDER]
         scratch = [
             pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),
             pltpu.VMEM((n_blocks, lc, tile, n_rb * c_ch), jnp.float32),
-            pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),      # K
-            pltpu.VMEM((seq_len, tile, kv_lanes), jnp.float32),      # V
+            pltpu.VMEM((n_blocks * n_heads, seq_len, tile * _KSLOT),
+                       jnp.float32),                                 # K
+            pltpu.VMEM((n_blocks * n_heads, seq_len, tile * _KSLOT),
+                       jnp.float32),                                 # V
         ]
         return pl.pallas_call(
             kernel,
@@ -295,13 +335,23 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
                                      120 * 1024 * 1024),
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
-        )(canvas_c, uniforms_c, *[weights[k] for k in W_ORDER])
+        )(canvas_c, uniforms_c, fslot, qselt,
+          *[weights[k] for k in W_ORDER])
 
     if tile == n:
         return one_tile(canvas0, uniforms)
-    # Unrolled (not lax.map): XLA dedupes the identical pallas computation,
-    # and map's stacked carry operands get forced into scoped VMEM, which
-    # OOMs at large n (measured at n=256 for the ImageGPT loop).
-    outs = [one_tile(canvas0[:, t:t + tile], uniforms[:, t:t + tile])
-            for t in range(0, n, tile)]
-    return jnp.concatenate(outs, axis=1)
+    # fori_loop + dynamic slices, NOT lax.map or unrolling: map's stacked
+    # carry operands get forced into scoped VMEM and OOM at large n, and
+    # unrolled calls compile the kernel once per tile (~19 min at n=256 for
+    # the ImageGPT loop). This compiles ONE kernel for any n.
+    nt = n // tile
+
+    def body(t, acc):
+        c = jax.lax.dynamic_slice(canvas0, (0, t * tile), (lp, tile))
+        u = jax.lax.dynamic_slice(uniforms, (0, t * tile, 0),
+                                  (seq_len, tile, 1))
+        return jax.lax.dynamic_update_slice(acc, one_tile(c, u),
+                                            (0, t * tile))
+
+    return jax.lax.fori_loop(0, nt, body,
+                             jnp.zeros((lp, n), jnp.float32))
