@@ -368,12 +368,14 @@ def main():
 
         check_budget("samplers")
         # --- Fast samplers (reproduce() configs, n=16 like the reference).
-        # n=16 decodes through the fused Pallas step (ops/decode_pallas.py).
+        # On TPU these decode through the whole-raster-scan MXU kernel
+        # (ops/decode_pallas.py::fused_sample_loop; PERF.md "Sampling").
         sps = bench_sampler(lambda: _make_imagegpt(0), 16)
         _emit("imagegpt_sample_throughput", sps, "images/sec", sample_base)
 
-        # bf16 K|V cache ablation: the fused decode is cache-DMA-bound, so
-        # halving cache bytes buys throughput at ~1e-2 logit quantization.
+        # bf16 K|V cache ablation of the PER-POSITION fused step (the
+        # whole-loop kernel is f32-cache only — Mosaic can't prove sublane
+        # alignment for single-row stores into a (16,128)-tiled bf16 cache).
         os.environ["PGT_DECODE_CACHE_DTYPE"] = "bfloat16"
         try:
             sps = bench_sampler(lambda: _make_imagegpt(0), 16)
@@ -382,9 +384,7 @@ def main():
         finally:
             del os.environ["PGT_DECODE_CACHE_DTYPE"]
 
-        # Larger sample batches amortize the 784-step scan (latency-bound at
-        # n=16, ~0.7ms/pixel-step of kernel-dispatch floor); report the
-        # scaling curve.
+        # Batch scaling of the whole-loop kernel (tile-by-tile fori_loop).
         sps = bench_sampler(lambda: _make_imagegpt(0), 64, n_rounds=2)
         _emit("imagegpt_sample_throughput_n64", sps, "images/sec",
               sample_base)
@@ -491,8 +491,14 @@ def main():
                     n_residual_blocks=2, attention_key_channels=4,
                     attention_value_channels=32, in_shape=(28, 28, 1))
 
+            # n=16 runs the whole-loop MXU kernel (snail_decode_pallas.py,
+            # gated at n // tile <= 2); n=64 stays on the XLA incremental
+            # sampler, whose batch scaling wins past 2 tiles.
             _emit("pixel_snail_sample_throughput", bench_sampler(snail, 16),
                   "images/sec", sample_base)
+            _emit("pixel_snail_sample_throughput_n64",
+                  bench_sampler(snail, 64, n_rounds=2), "images/sec",
+                  sample_base)
 
             xs_ = jnp.asarray((np.random.default_rng(2).random(
                 (128, 28, 28, 1)) < 0.13).astype(np.float32))

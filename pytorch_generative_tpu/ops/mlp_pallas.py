@@ -29,6 +29,7 @@ tests/test_kernels.py in f32 and bf16.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -184,14 +185,16 @@ def _bwd_kernel(x_ref, do_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, dx_ref,
 
 
 def _pick_rows(r: int, c: int, budget: int = 64 * 1024 * 1024):
-    """Largest multiple-of-8 row block <= 1024 that divides r and fits VMEM.
+    """Largest multiple-of-8 row block <= the cap that divides r and fits
+    VMEM (cap default 1024; PGT_MLP_ROWS_CAP overrides for experiments).
 
     The VMEM model: ~5 live (rows, 4C) f32 tiles (y, gelu, dg, dy plus
     Mosaic headroom) dominate; weight residents and the f32 grad
     accumulators are counted by the caller via the compile-time limit.
     """
     per_row = 5 * 4 * c * 4
-    cap = min(1024, max(budget // per_row, 8))
+    rows_cap = int(os.environ.get("PGT_MLP_ROWS_CAP", "1024"))
+    cap = min(rows_cap, max(budget // per_row, 8))
     for b in range(min(r, cap) - min(r, cap) % 8, 7, -8):
         if r % b == 0:
             return b

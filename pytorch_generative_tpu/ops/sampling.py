@@ -388,11 +388,16 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None,
     """
     if use_loop_kernel is None:
         n = (n_samples if n_samples is not None else conditioned_on.shape[0])
+        tile = _snail_loop_tile(model, n)
+        # nt <= 2: unlike ImageGPT's loop kernel (fastest at every n), the
+        # serial-tile passes overtake the XLA path's batch scaling here —
+        # measured at the bench config: n=16 (2 tiles) 210 vs 122 img/s,
+        # n=64 (8 tiles) 332 vs 378.
         use_loop_kernel = (jax.default_backend() != "cpu"
                            and os.environ.get("PGT_NO_FUSED_DECODE") != "1"
                            and os.environ.get("PGT_SAMPLE_LOOP", "1") != "0"
                            and _snail_loop_eligible(model)
-                           and (_snail_loop_tile(model, n) or 0) >= 8)
+                           and (tile or 0) >= 8 and n // tile <= 2)
     if use_loop_kernel:
         return _pixel_snail_sample_loop(model, rng, n_samples, conditioned_on)
 
@@ -789,10 +794,12 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
             kernel per position (ops/decode_pallas.py::fused_decode_step);
             if None (auto) on TPU, the sampler first tries the whole-loop
             kernel (fused_sample_loop: the ENTIRE raster scan in one Pallas
-            call, KV caches VMEM-resident, zero per-pixel XLA ops — batch-
-            tiled so any n works; PGT_SAMPLE_LOOP=0 disables), then the
-            per-position kernel for n <= PGT_FUSED_DECODE_MAX_N (default
-            32), then the XLA scan. CPU defaults to the XLA path, which is
+            call, MXU attention over VMEM-resident f32 KV caches, zero
+            per-pixel XLA ops — batch-tiled so any n works; fastest at
+            every measured n; PGT_SAMPLE_LOOP=0 disables, bf16
+            PGT_DECODE_CACHE_DTYPE falls through), then the per-position
+            kernel for n <= PGT_FUSED_DECODE_MAX_N (default 32), then the
+            XLA scan. CPU defaults to the XLA path, which is
             bitwise-equal to the naive sampler. PGT_NO_FUSED_DECODE=1
             forces the XLA path everywhere.
     Returns:
@@ -802,10 +809,17 @@ def image_gpt_sample_fast(model, rng, n_samples=None, conditioned_on=None,
         n = n_samples if n_samples is not None else conditioned_on.shape[0]
         on_tpu = (jax.default_backend() != "cpu"
                   and os.environ.get("PGT_NO_FUSED_DECODE") != "1")
+        cache_dtype = jnp.dtype(
+            os.environ.get("PGT_DECODE_CACHE_DTYPE", "float32"))
+        # The whole-loop kernel is f32-cache only: Mosaic cannot prove
+        # sublane alignment for single-row dynamic stores into a bf16
+        # (16, 128)-tiled cache ("index in dimension 1 is a multiple of
+        # 8"), and the f32 MXU loop is already 2.6x the old bf16-cache
+        # per-position path. A bf16-cache request keeps the per-position
+        # kernel, which genuinely uses it.
         if (on_tpu and os.environ.get("PGT_SAMPLE_LOOP", "1") != "0"
+                and cache_dtype == jnp.float32
                 and _whole_loop_eligible(model, n)):
-            cache_dtype = jnp.dtype(
-                os.environ.get("PGT_DECODE_CACHE_DTYPE", "float32"))
             tile = _sample_loop_tile(model, n, cache_dtype)
             if tile is not None and tile >= 8:
                 return _image_gpt_sample_loop(
