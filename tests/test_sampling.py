@@ -250,6 +250,54 @@ def test_whole_loop_sampler_gating():
     assert tb is not None and tb == 2 * t32
 
 
+def test_whole_loop_backend_gates(monkeypatch):
+    """The TPU auto gates route correctly: a bf16 cache request falls
+    through to the per-position fused step (the whole-loop kernel is
+    f32-cache only), and PixelSNAIL's loop kernel only engages at
+    n // tile <= 2 (measured crossover vs the XLA path's batch scaling)."""
+    from pytorch_generative_tpu.ops import sampling as sampling_ops
+
+    monkeypatch.setattr(sampling_ops.jax, "default_backend", lambda: "tpu")
+
+    m = models.ImageGPT(
+        KEY, in_channels=1, out_channels=1, in_size=28,
+        n_transformer_blocks=8, n_attention_heads=2,
+        n_embedding_channels=64, in_shape=(28, 28, 1))
+    routes = []
+    monkeypatch.setattr(
+        sampling_ops, "_image_gpt_sample_loop",
+        lambda *a, **k: routes.append("loop"))
+    monkeypatch.setattr(
+        sampling_ops, "_image_gpt_decode_fused",
+        lambda *a, **k: routes.append("fused_step"))
+    sampling_ops.image_gpt_sample_fast(m, jax.random.PRNGKey(0), n_samples=16)
+    assert routes == ["loop"]
+    monkeypatch.setenv("PGT_DECODE_CACHE_DTYPE", "bfloat16")
+    sampling_ops.image_gpt_sample_fast(m, jax.random.PRNGKey(0), n_samples=16)
+    assert routes == ["loop", "fused_step"]
+    monkeypatch.delenv("PGT_DECODE_CACHE_DTYPE")
+
+    s = models.PixelSNAIL(
+        KEY, in_channels=1, out_channels=1, n_channels=64,
+        n_pixel_snail_blocks=8, n_residual_blocks=2,
+        attention_key_channels=4, attention_value_channels=32,
+        in_shape=(28, 28, 1))
+    snail_routes = []
+    monkeypatch.setattr(
+        sampling_ops, "_pixel_snail_sample_loop",
+        lambda *a, **k: snail_routes.append("loop") or jnp.zeros(
+            (1, 28, 28, 1)))
+    tile = sampling_ops._snail_loop_tile(s, 16)
+    assert tile is not None and 16 // tile <= 2
+    sampling_ops.pixel_snail_sample_fast(s, jax.random.PRNGKey(0),
+                                         n_samples=16)
+    assert snail_routes == ["loop"]
+    tile64 = sampling_ops._snail_loop_tile(s, 64)
+    assert tile64 is not None and 64 // tile64 > 2  # XLA path keeps n=64
+    # (not invoked: the XLA fallback would trace the full scan; the gate
+    # decision alone is what this test pins.)
+
+
 def test_snail_whole_loop_sampler_matches_xla_path():
     """PixelSNAIL's single-kernel raster sampler (ops/snail_decode_pallas.py,
     interpret mode) == the XLA incremental sampler: free sampling, batch
