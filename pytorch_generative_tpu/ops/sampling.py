@@ -722,16 +722,39 @@ def _whole_loop_eligible(model, n):
 
 
 def _sample_loop_tile(model, n, cache_dtype):
-    """Largest batch tile whose VMEM-resident cache stays under ~56 MB."""
+    """Largest batch tile whose VMEM-resident working set stays under ~56 MB.
+
+    The working set is the K/V cache (linear in tile) PLUS the static MXU
+    selector masks fselk/fselv/dmask/qsel/expsel (decode_pallas.py builds
+    them at (tile·C, tile·H)-class shapes — QUADRATIC in tile) and the
+    vertically tiled output projection (linear in tile). At today's configs
+    (tile <= 16) the cache dominates, but at wide-model/large-tile points
+    the selectors would silently outgrow the budget and kill the compile.
+    """
     h, w, _ = model.in_shape
     attn = model.blocks[0].attn
-    f = attn.embed_channels + attn.out_channels
-    per_row = len(model.blocks) * h * w * f * jnp.dtype(cache_dtype).itemsize
+    c_k, c_v = attn.embed_channels, attn.out_channels
+    n_heads = attn.n_heads
+    n_blocks = len(model.blocks)
+    f = c_k + c_v
+    per_row = n_blocks * h * w * f * jnp.dtype(cache_dtype).itemsize
+
+    def working_set(tile):
+        cache = tile * per_row
+        # f32 selectors: fselk (tile, tile*c_k), fselv + dmask
+        # (tile, tile*c_v) each, qsel (tile*c_k, tile*H),
+        # expsel (tile*H, tile*c_v).
+        sel = tile * tile * (c_k + 2 * c_v
+                             + c_k * n_heads + n_heads * c_v) * 4
+        # out_w_tiled: (n_blocks, tile*c_v, c_v) f32 (out_proj is c_v -> c_v).
+        out_w = n_blocks * tile * c_v * c_v * 4
+        return cache + sel + out_w
+
     budget = 56 * 1024 * 1024
     tile = n
-    while tile > 1 and (tile * per_row > budget or n % tile != 0):
+    while tile > 1 and (working_set(tile) > budget or n % tile != 0):
         tile //= 2
-    return tile if tile * per_row <= budget and n % tile == 0 else None
+    return tile if working_set(tile) <= budget and n % tile == 0 else None
 
 
 def _image_gpt_sample_loop(model, rng, n_samples, conditioned_on,
