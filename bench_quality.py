@@ -165,13 +165,22 @@ def run_ours(model_name, spec, train_x, eval_x, backend="cpu",
         t.interleaved_train_and_eval(spec["epochs"], restore=False)
         # Example-weighted eval NLL in f32 master precision, averaged over RNG
         # draws (the VAEs' ELBOs are 1-sample MC estimates; extra seeds shrink
-        # that noise for everyone).
-        nlls = [evaluation.evaluate_loss(t.model, loss_fn, eval_loader,
-                                         seed=s)["loss"]
-                for s in range(eval_seeds)]
+        # that noise for everyone). MoE rows use the bare-BCE "nll" metric
+        # (comparable with dense); aux_loss rides along as a balance signal.
+        evals = [evaluation.evaluate_loss(t.model, loss_fn, eval_loader,
+                                          seed=s)
+                 for s in range(eval_seeds)]
+        nlls = [e.get("nll", e["loss"]) for e in evals]
         extras = {}
         if model_name == "vq_vae":
             extras["perplexity"] = _perplexity_ours(t.model, eval_x, batch)
+        if model_name == "vq_vae_2":
+            pb, pt = _perplexity_ours_vq2(t.model, eval_x, batch)
+            extras["perplexity_b"], extras["perplexity_t"] = pb, pt
+        if model_name.startswith("image_gpt_moe"):
+            extras["aux_loss"] = float(np.mean([e["aux_loss"]
+                                                for e in evals]))
+            extras.update(_moe_balance_ours(t.model, eval_x, batch))
     return float(np.mean(nlls)), flash_used, extras
 
 
@@ -179,7 +188,7 @@ def _assert_flash(model, name, backend):
     """Returns whether the Pallas flash kernels are in the compute path, and
     asserts they are when an attention model runs on the real TPU."""
     attn = None
-    if name == "image_gpt":
+    if name == "image_gpt" or name.startswith("image_gpt_moe"):
         attn = [b.attn for b in model.blocks]
     elif name == "pixel_snail":
         attn = [b.attention for b in model.pixel_snail_blocks]
@@ -244,6 +253,31 @@ def _build_ours(name, cfg, key):
             residual_channels=cfg["residual_channels"],
             n_embeddings=cfg["n_embeddings"],
             embedding_dim=cfg["embedding_dim"], in_shape=(28, 28, 1))
+    if name == "fvbn":
+        return models.FullyVisibleBeliefNetwork(key, n_dims=784,
+                                                in_shape=(28, 28, 1))
+    if name == "beta_vae":
+        return models.BetaVAE(
+            key, in_channels=1, out_channels=1, beta=cfg["beta"],
+            latent_channels=cfg["latent_channels"], strides=(4,),
+            hidden_channels=cfg["hidden_channels"],
+            residual_channels=cfg["residual_channels"], in_shape=(28, 28, 1))
+    if name == "vq_vae_2":
+        return models.VectorQuantizedVAE2(
+            key, in_channels=1, out_channels=1,
+            hidden_channels=cfg["hidden_channels"],
+            n_residual_blocks=cfg["n_residual"],
+            residual_channels=cfg["residual_channels"],
+            n_embeddings=cfg["n_embeddings"],
+            embedding_dim=cfg["embedding_dim"], in_shape=(28, 28, 1))
+    if name.startswith("image_gpt_moe"):
+        return models.ImageGPTMoE(
+            key, in_channels=1, out_channels=1, in_size=28,
+            n_transformer_blocks=cfg["n_blocks"],
+            n_attention_heads=cfg["n_heads"],
+            n_embedding_channels=cfg["channels"], n_experts=cfg["n_experts"],
+            capacity_factor=cfg["capacity_factor"],
+            group_size=cfg["group_size"], in_shape=(28, 28, 1))
     if name == "vd_vae":
         from pytorch_generative_tpu.models.vae.vd_vae import StackConfig
         return models.VeryDeepVAE(
@@ -261,7 +295,7 @@ def _loss_ours(name):
     import jax.numpy as jnp
     import optax
 
-    if name in ("vae", "vd_vae"):
+    if name in ("vae", "vd_vae", "beta_vae"):
         def loss_fn(x, _, preds):
             preds, kl_div = preds
             n = x.shape[0]
@@ -291,6 +325,27 @@ def _loss_ours(name):
                     "vq_loss": vq_loss}
         return loss_fn
 
+    if name == "vq_vae_2":
+        # Reference vq_vae_2.py:163-166: mean-MSE recon + 0.25 * vq loss.
+        def loss_fn(x, _, preds):
+            preds, vq_loss = preds
+            recon = jnp.mean((preds - x) ** 2)
+            return {"loss": recon + 0.25 * vq_loss, "recon_loss": recon,
+                    "vq_loss": vq_loss}
+        return loss_fn
+
+    if name.startswith("image_gpt_moe"):
+        # Train on BCE + 0.01 * load-balance aux (image_gpt_moe.reproduce);
+        # "nll" carries the bare BCE so the row is comparable with dense
+        # ImageGPT's NLL at matched active FLOPs.
+        def loss_fn(x, _, preds):
+            logits, aux = preds
+            n = x.shape[0]
+            bce = optax.sigmoid_binary_cross_entropy(
+                logits.reshape(n, -1), x.reshape(n, -1)).sum(axis=1).mean()
+            return {"loss": bce + 0.01 * aux, "nll": bce, "aux_loss": aux}
+        return loss_fn
+
     def loss_fn(x, _, preds):
         n = x.shape[0]
         return optax.sigmoid_binary_cross_entropy(
@@ -312,6 +367,70 @@ def _perplexity_ours(model, eval_x, batch):
         counts += np.bincount(idxs, minlength=len(counts))
     p = counts / counts.sum()
     return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+
+def _perplexity_ours_vq2(model, eval_x, batch):
+    """(bottom, top) codebook perplexities of a trained VQ-VAE-2."""
+    import jax.numpy as jnp
+    from pytorch_generative_tpu.ops import vq as vq_ops
+
+    counts_b = np.zeros(model.quantizer_b.vq.n_embeddings)
+    counts_t = np.zeros(model.quantizer_t.vq.n_embeddings)
+    for i in range(0, len(eval_x), batch):
+        x = jnp.asarray(eval_x[i:i + batch])
+        encoded_b = model.encoder_b(x)
+        encoded_t = model.encoder_t(encoded_b)
+        for counts, quant, enc in ((counts_b, model.quantizer_b, encoded_b),
+                                   (counts_t, model.quantizer_t, encoded_t)):
+            z = quant.conv(enc)
+            idxs = np.asarray(vq_ops.nearest_codebook(
+                z.reshape(-1, z.shape[-1]), quant.vq.codebook))
+            counts += np.bincount(idxs, minlength=len(counts))
+
+    def perp(counts):
+        p = counts / counts.sum()
+        return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+    return perp(counts_b), perp(counts_t)
+
+
+def _moe_balance_ours(model, eval_x, batch):
+    """Measured expert-load statistics of a trained ImageGPT-MoE on the eval
+    set: per-expert usage perplexity (exp entropy; n_experts = uniform) and
+    the fraction of (token, choice) routes dropped past capacity — the
+    quantity the capacity_factor trades against speed."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_generative_tpu.nn.moe import capacity_for
+
+    n_experts = model.blocks[0].moe.n_experts
+    counts = np.zeros(n_experts)
+    dropped = 0.0
+    routed = 0
+    for i in range(0, len(eval_x), batch):
+        x = jnp.asarray(eval_x[i:i + batch])
+        h = model.input_conv(x + model.pos)
+        n, hh, ww, c = h.shape
+        h = h.reshape(n, hh * ww, c)
+        for block in model.blocks:
+            a = h + block.attn(block.ln1(h))
+            toks = block.ln2(a)
+            moe = block.moe
+            g = moe.group_size or toks.shape[1]
+            flat = toks.reshape(-1, g, c)
+            cap = capacity_for(g, n_experts, moe.capacity_factor)
+            _, valid, _, weight, _ = jax.vmap(
+                lambda t: moe.route_compact(t, cap))(flat)
+            counts += np.asarray(
+                jnp.sum(valid, axis=(0, 2)).astype(jnp.float32))
+            dropped += float(jnp.sum(weight == 0.0))
+            routed += int(np.prod(weight.shape))
+            out, _ = block(h)
+            h = h + out
+    p = counts / counts.sum()
+    usage_perp = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+    return {"expert_usage_perplexity": usage_perp,
+            "dropped_route_frac": dropped / max(routed, 1)}
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +498,7 @@ def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8, init_seed=0):
     if model_name == "vd_vae":
         _match_init_vd_vae(model, spec["cfg"])
     batch = spec["batch"]
-    flat = model_name in ("nade", "made", "nice")
+    flat = model_name in ("nade", "made", "nice", "fvbn")
     xs = torch.tensor(train_x).permute(0, 3, 1, 2).contiguous()
     ev = torch.tensor(eval_x).permute(0, 3, 1, 2).contiguous()
     if flat:
@@ -415,10 +534,29 @@ def run_ref(model_name, spec, train_x, eval_x, eval_seeds=8, init_seed=0):
     extras = {}
     if model_name == "vq_vae":
         extras["perplexity"] = _perplexity_ref(model, ev, batch)
+    if model_name == "vq_vae_2":
+        pb, pt = _perplexity_ref_vq2(model, ev, batch)
+        extras["perplexity_b"], extras["perplexity_t"] = pb, pt
     return float(np.mean(totals)), extras
 
 
 def _build_ref(ref, name, cfg):
+    if name == "fvbn":
+        return ref.models.FullyVisibleBeliefNetwork(n_dims=784)
+    if name == "beta_vae":
+        return ref.models.BetaVAE(
+            in_channels=1, out_channels=1, beta=cfg["beta"],
+            latent_channels=cfg["latent_channels"], strides=[4],
+            hidden_channels=cfg["hidden_channels"],
+            residual_channels=cfg["residual_channels"])
+    if name == "vq_vae_2":
+        return ref.models.VectorQuantizedVAE2(
+            in_channels=1, out_channels=1,
+            hidden_channels=cfg["hidden_channels"],
+            n_residual_blocks=cfg["n_residual"],
+            residual_channels=cfg["residual_channels"],
+            n_embeddings=cfg["n_embeddings"],
+            embedding_dim=cfg["embedding_dim"])
     if name == "nade":
         return ref.models.NADE(input_dim=784, hidden_dim=cfg["hidden"])
     if name == "made":
@@ -479,7 +617,7 @@ def _build_ref(ref, name, cfg):
 def _loss_ref(name):
     import torch.nn.functional as F
 
-    if name in ("vae", "vd_vae"):
+    if name in ("vae", "vd_vae", "beta_vae"):
         def loss_fn(x, _, preds):
             preds, kl_div = preds
             n = x.shape[0]
@@ -506,6 +644,13 @@ def _loss_ref(name):
             return {"loss": recon + vq_loss}
         return loss_fn
 
+    if name == "vq_vae_2":
+        def loss_fn(x, _, preds):
+            preds, vq_loss = preds
+            recon = F.mse_loss(preds, x)
+            return {"loss": recon + 0.25 * vq_loss}
+        return loss_fn
+
     def loss_fn(x, _, preds):
         n = x.shape[0]
         return F.binary_cross_entropy_with_logits(
@@ -529,6 +674,33 @@ def _perplexity_ref(model, ev, batch):
             counts += np.bincount(idxs, minlength=len(counts))
     p = counts / counts.sum()
     return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+
+def _perplexity_ref_vq2(model, ev, batch):
+    """(bottom, top) codebook perplexities of the torch VQ-VAE-2."""
+    import torch
+
+    def perp_for(quantizer, feats):
+        counts = np.zeros(quantizer._net[1].n_embeddings)
+        for z_in in feats:
+            z = quantizer._net[0](z_in)
+            flat = z.permute(0, 2, 3, 1).reshape(-1, z.shape[1])
+            emb = quantizer._net[1]._embedding
+            d = ((flat ** 2).sum(1, keepdim=True) + (emb ** 2).sum(1)
+                 - 2 * flat @ emb.t())
+            counts += np.bincount(d.argmin(dim=1).numpy(),
+                                  minlength=len(counts))
+        p = counts / counts.sum()
+        return float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+    feats_b, feats_t = [], []
+    with torch.no_grad():
+        for i in range(0, len(ev), batch):
+            encoded_b = model._encoder_b(ev[i:i + batch])
+            feats_b.append(encoded_b)
+            feats_t.append(model._encoder_t(encoded_b))
+        return (perp_for(model._quantizer_b, feats_b),
+                perp_for(model._quantizer_t, feats_t))
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +744,36 @@ MODELS = {
                        "residual_channels": 8, "n_embeddings": 64,
                        "embedding_dim": 8},
                "epochs": 180, "batch": 128, "lr": 1e-3, "variant": "binary"},
+    # Round 5: the last three reference-table models ...
+    # (FVSBN: per-pixel logistic regressions — the shallowest model; its
+    # plateau NLL is well above the deep models', as in the reference README.)
+    "fvbn": {"cfg": {}, "epochs": 40, "batch": 128, "lr": 1e-3,
+             "variant": "binary"},
+    "beta_vae": {"cfg": {"beta": 4.0, "latent_channels": 4,
+                         "hidden_channels": 16, "residual_channels": 8},
+                 "epochs": 60, "batch": 128, "lr": 1e-3, "variant": "binary"},
+    # Same 180-epoch EMA-convergence reasoning as vq_vae (above); two
+    # codebooks, both health-gated.
+    "vq_vae_2": {"cfg": {"hidden_channels": 32, "n_residual": 1,
+                         "residual_channels": 8, "n_embeddings": 64,
+                         "embedding_dim": 8},
+                 "epochs": 180, "batch": 128, "lr": 1e-3,
+                 "variant": "binary"},
+    # ... and the MoE flagship variant, compared against DENSE ImageGPT at
+    # matched active FLOPs (top-1 routing, expert hidden width 4C — the same
+    # per-token MLP compute; see assemble_rows). group_size 98 and cf 1.25
+    # are the bench config; the cf=1.0 row measures the real NLL cost of the
+    # speed-optimal capacity (PERF.md "MoE routing").
+    "image_gpt_moe": {"cfg": {"n_blocks": 2, "n_heads": 2, "channels": 32,
+                              "n_experts": 8, "capacity_factor": 1.25,
+                              "group_size": 98},
+                      "epochs": 40, "batch": 64, "lr": 1e-3, "n_train": 512,
+                      "variant": "binary"},
+    "image_gpt_moe_cf1": {"cfg": {"n_blocks": 2, "n_heads": 2, "channels": 32,
+                                  "n_experts": 8, "capacity_factor": 1.0,
+                                  "group_size": 98},
+                          "epochs": 40, "batch": 64, "lr": 1e-3,
+                          "n_train": 512, "variant": "binary"},
     # 320 epochs, not 80: the torch reference is still mid-descent at 80
     # (eval 524 nats) and only approaches its plateau around 320 (349 —
     # measured curve: 525/80, 368/160, 350/300); this build reaches the same
@@ -627,7 +829,13 @@ def assemble_rows(cache):
         if not key.startswith("ours/"):
             continue
         _, name, backend, dtype = key.split("/")
-        ref = cache.get(f"ref/{name}")
+        if name.startswith("image_gpt_moe"):
+            # Beyond-reference model: the baseline is DENSE ImageGPT (ours,
+            # same backend/dtype) at matched active FLOPs — the quality cost
+            # of sparsity+capacity-dropping is the claim under test.
+            ref = cache.get(f"ours/image_gpt/{backend}/{dtype}")
+        else:
+            ref = cache.get(f"ref/{name}")
         if ref is None:
             continue
         nll_ours, nll_ref = ours["nll"], ref["nll"]
@@ -648,6 +856,13 @@ def assemble_rows(cache):
             # torch side starts from THIS build's PRNGKey(0) weights (see
             # _match_init_vd_vae for why).
             row["matched_init"] = True
+        if name.startswith("image_gpt_moe"):
+            row["baseline"] = "dense image_gpt (ours, same backend/dtype, " \
+                              "matched active FLOPs)"
+            for k in ("aux_loss", "expert_usage_perplexity",
+                      "dropped_route_frac"):
+                if k in ours:
+                    row[k] = round(ours[k], 4)
         if name == "nice":
             # Dequantized-input bits/dim, the reference README's headline
             # unit for NICE (README.md:206-211).
@@ -658,7 +873,7 @@ def assemble_rows(cache):
                 nats_to_bits_per_dim(nll_ours, 784, dequantized=True), 4)
             row["bits_per_dim_ref"] = round(
                 nats_to_bits_per_dim(nll_ref, 784, dequantized=True), 4)
-        elif name not in ("vq_vae",):
+        elif name not in ("vq_vae", "vq_vae_2"):
             row["bits_per_dim_tpu"] = round(nll_ours / 784 / math.log(2), 4)
             row["bits_per_dim_ref"] = round(nll_ref / 784 / math.log(2), 4)
         if "perplexity" in ours and "perplexity" in ref:
@@ -683,6 +898,17 @@ def assemble_rows(cache):
             row["perplexity_floor"] = round(
                 floor * (1 - PERPLEXITY_REL_TOL), 2)
             ok = ok and ours["perplexity"] >= floor * (1 - PERPLEXITY_REL_TOL)
+        if "perplexity_b" in ours and "perplexity_b" in ref:
+            # VQ-VAE-2: both codebook levels health-gated one-sided against
+            # the reference point (same rationale as the single-level gate).
+            for lvl in ("b", "t"):
+                row[f"perplexity_{lvl}_tpu"] = round(
+                    ours[f"perplexity_{lvl}"], 2)
+                row[f"perplexity_{lvl}_ref"] = round(
+                    ref[f"perplexity_{lvl}"], 2)
+                ok = ok and (ours[f"perplexity_{lvl}"]
+                             >= ref[f"perplexity_{lvl}"]
+                             * (1 - PERPLEXITY_REL_TOL))
         row["within_tolerance"] = bool(ok)
         rows[_row_key(name, backend, dtype)] = row
     return rows
