@@ -234,6 +234,30 @@ def test_fused_ln_mlp_gradients_match_reference(r_shape, save_preact,
             err_msg=f"{name} mismatch")
 
 
+@pytest.mark.parametrize("r_shape", [(2, 24), (2, 25)])  # 50 rows: pad path
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_ln_mlp_pipelined_bwd_matches_monolithic(r_shape, dtype,
+                                                       monkeypatch):
+    """PGT_MLP_BWD=pipe (skewed two-stage) vs mono must agree exactly."""
+    monkeypatch.setattr(mlp_pallas, "_SAVE_PREACT", True)
+    args = _mlp_args(r_shape, c=64, f=256, dtype=dtype, seed=4)
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(mlp_pallas.ln_mlp_residual(*a)
+                               .astype(jnp.float32)))
+
+    monkeypatch.setenv("PGT_MLP_BWD", "pipe")
+    g_pipe = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    monkeypatch.setenv("PGT_MLP_BWD", "mono")
+    g_mono = jax.grad(loss, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"]
+    for name, got, want in zip(names, g_pipe, g_mono):
+        np.testing.assert_allclose(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(want.astype(jnp.float32)),
+            atol=1e-6, err_msg=f"{name} pipe/mono mismatch")
+
+
 def test_fused_ln_mlp_bf16_close_to_f32_reference():
     args32 = _mlp_args((2, 24), c=128, f=512, seed=2)
     args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
