@@ -29,7 +29,8 @@ from pytorch_generative_tpu.nn.moe import capacity_for
 
 
 def moe_forward_expert_parallel(moe, x, mesh: Mesh,
-                                axis_name: str = "expert"):
+                                axis_name: str = "expert",
+                                data_axis: str | None = None):
     """Runs a SparseMoE forward with experts sharded over ``axis_name``.
 
     Args:
@@ -38,6 +39,12 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
         x: (N, ..., C) activations; N must be divisible by the axis size (the
             batch is sharded over the same axis — dp x ep combined).
         mesh: Mesh containing ``axis_name``.
+        data_axis: Optional second mesh axis for EP x DP composition: the
+            batch is sharded over ``(data_axis, axis_name)`` jointly while
+            experts shard over ``axis_name`` only (replicated across
+            ``data_axis``); the ``all_to_all`` slot exchange stays within each
+            data-replica's expert group, and expert-weight cotangents are
+            psum'd over ``data_axis`` by shard_map (the DP gradient sum).
     Returns:
         (y, aux_loss): y shaped like x (fully replicated result of the
         sharded computation), aux_loss the mean over devices of the local
@@ -50,10 +57,11 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
     """
     n_devices = mesh.shape[axis_name]
     n_experts = moe.n_experts
+    batch_ways = n_devices * (mesh.shape[data_axis] if data_axis else 1)
     assert n_experts % n_devices == 0, (
         f"{n_experts} experts not divisible over {n_devices} devices")
-    assert x.shape[0] % n_devices == 0, (
-        f"batch {x.shape[0]} not divisible over {n_devices} devices")
+    assert x.shape[0] % batch_ways == 0, (
+        f"batch {x.shape[0]} not divisible over {batch_ways} devices")
     if x.ndim == 2:
         # The dense path routes a (N, C) matrix as ONE global group; no
         # per-device grouping can reproduce that capacity/aux-loss math
@@ -98,13 +106,15 @@ def moe_forward_expert_parallel(moe, x, mesh: Mesh,
         out = jax.lax.all_to_all(
             out, axis_name, split_axis=2, concat_axis=1, tiled=True)
         y = jax.vmap(m.combine_compact)(out, slot, weight)
-        return y.reshape(x_local.shape), jax.lax.pmean(aux.mean(), axis_name)
+        aux_axes = (data_axis, axis_name) if data_axis else axis_name
+        return y.reshape(x_local.shape), jax.lax.pmean(aux.mean(), aux_axes)
 
+    batch_axes = (data_axis, axis_name) if data_axis else axis_name
     expert_spec = {k: P(axis_name) for k in expert_leaves}
     router_spec = jax.tree_util.tree_map(lambda _: P(), router)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(router_spec, expert_spec, P(axis_name)),
-        out_specs=(P(axis_name), P()), check_vma=False)
+        in_specs=(router_spec, expert_spec, P(batch_axes)),
+        out_specs=(P(batch_axes), P()), check_vma=False)
     y, aux = fn(router, expert_leaves, x)
     return y, aux

@@ -109,7 +109,7 @@ def shard_tree_fsdp(tree, mesh: Mesh, axis_name: str = DATA_AXIS,
 def fsdp_jit_train_step(train_step, params, opt_state, mesh: Mesh,
                         axis_name: str = DATA_AXIS,
                         min_size: int = DEFAULT_MIN_SIZE, tp_rules=(),
-                        donate: bool = True):
+                        donate: bool = True, batch_spec=None):
     """Jits ``train_step(params, opt_state, batch) -> (params, opt_state,
     aux)`` with FSDP in/out shardings on the state and the batch sharded over
     ``axis_name``.
@@ -118,10 +118,16 @@ def fsdp_jit_train_step(train_step, params, opt_state, mesh: Mesh,
     :func:`fsdp_shardings` — place them once with :func:`shard_tree_fsdp`
     before the first call. ``aux`` comes back replicated. Donation recycles
     the old state buffers, so peak memory stays at ~one sharded copy.
+
+    ``batch_spec`` overrides the batch PartitionSpec (default
+    ``P(axis_name)``) — pass ``P(('replica', 'data'))`` for hybrid sharded
+    data parallelism (HSDP): gradients sum over both axes while the state
+    shards only over ``axis_name``.
     """
     state_in = (fsdp_shardings(params, mesh, axis_name, min_size, tp_rules),
                 fsdp_shardings(opt_state, mesh, axis_name, min_size, tp_rules))
-    batch_sharding = NamedSharding(mesh, P(axis_name))
+    batch_sharding = NamedSharding(
+        mesh, P(axis_name) if batch_spec is None else batch_spec)
     return jax.jit(
         train_step,
         in_shardings=(*state_in, batch_sharding),

@@ -439,3 +439,56 @@ def test_expert_parallel_group_size_matches_dense():
     y_ep, _ = parallel.moe_forward_expert_parallel(moe, x, mesh8)
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
                                atol=1e-5)
+
+
+@needs_mesh
+def test_expert_parallel_x_data_parallel_matches_dense():
+    """EP x DP on a 2-D ('data','expert') mesh == the dense forward: experts
+    shard over 'expert' (replicated across 'data'), the batch shards over
+    BOTH axes jointly, and the all_to_all slot exchange stays within each
+    data-replica's expert group (VERDICT r4 item 5)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "expert"))
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=16, hidden_channels=32,
+                    n_experts=4, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 16))
+    y_dense, aux_dense = moe(x)
+    y_ep, aux_ep = parallel.moe_forward_expert_parallel(
+        moe, x, mesh, data_axis="data")
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_dense),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(aux_ep), float(aux_dense), rtol=1e-5)
+
+
+@needs_mesh
+def test_expert_parallel_x_data_parallel_grads_match_dense():
+    """EP x DP gradients == dense-path gradients: the expert-weight cotangent
+    psum over 'data' is exactly the DP gradient sum."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("data", "expert"))
+    moe = SparseMoE(jax.random.PRNGKey(0), n_channels=8, hidden_channels=16,
+                    n_experts=4, capacity_factor=4.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 8))
+    params, rest = core.partition(moe)
+
+    def loss_dense(p, x):
+        m = core.combine(p, rest)
+        y, aux = m(x)
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    def loss_ep(p, x):
+        m = core.combine(p, rest)
+        y, aux = parallel.moe_forward_expert_parallel(
+            m, x, mesh, data_axis="data")
+        return jnp.sum(y ** 2) + 0.01 * aux
+
+    v1, g1 = jax.value_and_grad(loss_dense)(params, x)
+    v2, g2 = jax.value_and_grad(loss_ep)(params, x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

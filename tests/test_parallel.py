@@ -1042,3 +1042,80 @@ def test_fsdp_plus_sp_matches_single_device(pallas_interpret):
                if hasattr(l, "sharding") and l.sharding.spec
                and any(e == "data" for e in l.sharding.spec)]
     assert sharded, "no parameter leaf is FSDP-sharded on the 2-D mesh"
+
+
+def test_replica_x_fsdp_x_sp_matches_single_device(pallas_interpret):
+    """THREE-axis composition on a (2, 2, 2) ('replica', 'data', 'seq') mesh —
+    hybrid sharded data parallelism (HSDP) x sequence parallelism:
+
+      * params/grads/opt-state ZeRO-3-sharded over 'data' ONLY (replicated
+        across 'replica' — the HSDP layout: all-gathers stay within the small
+        'data' group instead of spanning the whole slice),
+      * the batch sharded over ('replica', 'data') jointly
+        (fsdp_jit_train_step's batch_spec hook),
+      * the transformer middle's sequence axis sharded over 'seq'
+        (flash-kernel ring attention, interpret mode on the CPU mesh).
+
+    One train step must equal the unsharded single-device step
+    (VERDICT r4 item 5)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    gpt = models.ImageGPT(jax.random.PRNGKey(0), in_channels=1, out_channels=1,
+                          in_size=8, n_transformer_blocks=2,
+                          n_attention_heads=2, n_embedding_channels=16,
+                          in_shape=(8, 8, 1))
+    params, rest = core.partition(gpt)
+    tx = optax.sgd(0.1)
+    x = jnp.asarray(np.random.default_rng(0).random((8, 8, 8, 1)), jnp.float32)
+
+    def loss_plain(p, xb):
+        m = core.combine(p, rest)
+        preds = m.forward(xb)
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def step_plain(p, opt_state, xb):
+        loss, grads = jax.value_and_grad(loss_plain)(p, xb)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p1, _, loss1 = jax.jit(step_plain)(params, tx.init(params), x)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("replica", "data", "seq"))
+
+    def loss_sp(p, xb):
+        m = parallel.SequenceParallelImageGPT(
+            core.combine(p, rest), mesh, axis_name="seq",
+            data_axis=("replica", "data"))
+        preds = m.forward(xb)
+        n = xb.shape[0]
+        return optax.sigmoid_binary_cross_entropy(
+            preds.reshape(n, -1), xb.reshape(n, -1)).sum(1).mean()
+
+    def step_sp(p, opt_state, xb):
+        loss, grads = jax.value_and_grad(loss_sp)(p, xb)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p_sh = parallel.shard_tree_fsdp(params, mesh, min_size=0)
+    o_sh = parallel.shard_tree_fsdp(tx.init(params), mesh, min_size=0)
+    fsdp_step = parallel.fsdp_jit_train_step(
+        step_sp, params, tx.init(params), mesh, min_size=0, donate=False,
+        batch_spec=P(("replica", "data")))
+    p2, _, loss2 = fsdp_step(p_sh, o_sh, x)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(p1)),
+                    jax.tree_util.tree_leaves(jax.device_get(p2))):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # The composition is real: some leaf is FSDP-sharded over 'data' and NO
+    # leaf is sharded over 'replica' (HSDP: state replicated across replicas).
+    specs = [l.sharding.spec for l in jax.tree_util.tree_leaves(p2)
+             if hasattr(l, "sharding")]
+    assert any(any(e == "data" for e in s) for s in specs if s), (
+        "no parameter leaf is FSDP-sharded on the 3-D mesh")
+    flat = [e for s in specs for e in s if e]
+    assert "replica" not in flat, "HSDP must not shard state over 'replica'"
