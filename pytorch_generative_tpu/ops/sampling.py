@@ -321,7 +321,9 @@ def _snail_loop_tile(model, n):
     n_rb = len(blocks[0].residual_blocks)
     c_ch = model.input_conv.weight.shape[-1]
     n_heads = blocks[0].attention.n_heads
-    per_row = 4 * (2 * len(blocks) * (h + 1) * (w + 1) * n_rb * c_ch
+    # elu/mid conv caches are rolling two-row buffers (2*(w+1) entries, not
+    # (h+1)*(w+1) — snail_decode_pallas.py docstring), so K/V dominates.
+    per_row = 4 * (2 * len(blocks) * 2 * (w + 1) * n_rb * c_ch
                    + 2 * h * w * len(blocks) * n_heads * _KSLOT)
     budget = 72 * 1024 * 1024
     tile = n

@@ -18,9 +18,15 @@ from the same split keys. Equivalence is float-tolerance (MXU/VPU op
 ordering), tested in interpret mode in tests/test_sampling.py.
 
 Cache layouts (per batch tile of n samples, f32):
-  elu/mid maps: (B, (h+1)*(w+1), n, R*C) — the R residual blocks packed on
-    the lane axis (R*C = 128 at the reproduce config: zero padding waste);
-    2x2 pad-1-crop convs read the 4 flat taps {p, p+1, p+(w+1), p+(w+1)+1}.
+  elu/mid maps: (B, 2*(w+1), n, R*C) ROLLING two-row buffers — the R
+    residual blocks packed on the lane axis (R*C = 128 at the reproduce
+    config: zero padding waste). The 2x2 pad-1-crop convs at raster position
+    (row, col) only ever read conv-cache rows {row, row+1}, so a full
+    (h+1)*(w+1) map wastes 14.5x VMEM: logical cache row r lives at parity
+    r % 2, the current entry is written at ((row+1) % 2, col+1), and the
+    left-pad entry ((row+1) % 2, 0) — stale row-1 data in a rolling buffer —
+    is re-zeroed at col == 0. The VMEM saved goes into batch tile (8 -> 32
+    at the reproduce config), which quarters the serial tile passes.
   K/V: (B*H, L, n*32) FLAT per-(block, head) slabs, keys zero-padded from
     d_k to the 32-lane slot (padded lanes contribute exactly 0 to scores);
     attention runs on the MXU with static slot masks, mirroring
@@ -93,10 +99,23 @@ def _snail_loop_kernel(canvas0_ref, u_ref, fslot_ref, qselt_ref, in_w4, in_b,
     x = jax.lax.dot_general(patch, in_w4[:], (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + in_b[:]
 
-    # Conv-cache flat coordinates: entry (r+1, c+1) holds position (r, c).
-    pw2 = (row + 1) * wc + (col + 1)           # current entry
-    t0 = row * wc + col                        # 2x2 patch taps
-    taps = (t0, t0 + 1, t0 + wc, t0 + wc + 1)
+    # Conv-cache flat coordinates: LOGICAL entry (r+1, c+1) holds position
+    # (r, c); logical row r lives at rolling parity (r % 2) * wc. The 2x2
+    # patch at (row, col) reads logical rows {row, row+1} = parities
+    # {row % 2, (row + 1) % 2}.
+    par_w = ((row + 1) % 2) * wc               # parity row being written
+    par_r = (row % 2) * wc                     # parity row of the prev row
+    pw2 = par_w + (col + 1)                    # current entry
+    taps = (par_r + col, par_r + col + 1, par_w + col, par_w + col + 1)
+
+    @pl.when(col == 0)
+    def _zero_left_pad():
+        # Left-pad entry of the parity row being (re)used this raster row:
+        # stale data from row-2 in a rolling buffer, zero in the full map.
+        z = jnp.zeros((1, 1) + elu_c.shape[2:], jnp.float32)
+        for bb in range(n_blocks):
+            elu_c[bb, pl.ds(par_w, 1), :, :] = z[0]
+            mid_c[bb, pl.ds(par_w, 1), :, :] = z[0]
 
     pos_l = jax.lax.broadcasted_iota(jnp.int32, (seq_len, 1), 0)
     valid = pos_l < i  # strict: mask_center attention
@@ -279,7 +298,7 @@ def fused_snail_sample_loop(canvas0, uniforms, weights, n_blocks, n_rb,
     if tile is None:
         tile = n
     assert n % tile == 0, (n, tile)
-    lc = (h + 1) * (w + 1)
+    lc = 2 * (w + 1)  # rolling two-row conv caches (kernel docstring)
 
     def const_spec(shape):
         nd = len(shape)
