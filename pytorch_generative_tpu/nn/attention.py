@@ -19,6 +19,15 @@ from pytorch_generative_tpu.nn.convolution import Conv2d
 from pytorch_generative_tpu.ops import attention as attn_ops
 
 
+def _use_fused_block():
+    """Opt-in (PGT_FUSED_ATTN=1): the whole-attention-block kernel
+    (ops/attn_block_pallas.py). Off by default until its hardware win is
+    measured (PERF.md)."""
+    import os
+
+    return os.environ.get("PGT_FUSED_ATTN") == "1"
+
+
 def positional_encoding(d_model: int, max_len: int):
     """1-D sinusoidal positional encodings, shape (max_len, 1, d_model).
 
@@ -115,6 +124,20 @@ class CausalAttention(core.Module):
         else:
             n, h, w, _ = x.shape
             l = h * w
+        if (rank3 and extra_x is None and self.use_flash
+                and _use_fused_block()):
+            # Whole-block fusion: qkv projection + flash attention + output
+            # projection in ONE kernel (ops/attn_block_pallas.py) — the
+            # projections run on VMEM-resident operands with no custom-call
+            # boundary between them and the attention tiles.
+            from pytorch_generative_tpu.ops.attn_block_pallas import (
+                attention_block_packed,
+            )
+            return attention_block_packed(
+                x, self.q_proj.weight[0, 0], self.q_proj.bias,
+                self.kv_proj.weight[0, 0], self.kv_proj.bias,
+                self.out_proj.weight[0, 0], self.out_proj.bias,
+                self.mask_center, self.n_heads)
         q_feat = self.q_proj(x)
         if extra_x is not None:
             x = jnp.concatenate([x, extra_x], axis=-1)

@@ -346,3 +346,87 @@ def test_pallas_ln_bf16_close_to_f32_reference():
     got = ln_pallas.channel_layernorm(*args16).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(_ln_ref(*args32)),
                                atol=0.1, rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention block (qkv proj + flash + out proj in one kernel)
+# ---------------------------------------------------------------------------
+
+from pytorch_generative_tpu.ops import attn_block_pallas  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _interpret_block(monkeypatch):
+    monkeypatch.setattr(attn_block_pallas, "_INTERPRET", True)
+
+
+def _block_args(l=64, c=32, e=32, o=32, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, dtype)
+    return (mk(2, l, c), mk(c, e), mk(e), mk(c, e + o), mk(e + o),
+            mk(o, c), mk(c))
+
+
+def _block_unfused(x, wq, bq, wkv, bkv, wo, bo, mask_center, n_heads):
+    e = wq.shape[1]
+    q = jnp.einsum("blc,ce->ble", x, wq) + bq
+    kv = jnp.einsum("blc,cf->blf", x, wkv) + bkv
+    att = attention_pallas.causal_attention_packed(
+        q, kv[..., :e], kv[..., e:], mask_center, n_heads)
+    return jnp.einsum("blo,oc->blc", att, wo) + bo
+
+
+@pytest.mark.parametrize("mask_center", [False, True])
+@pytest.mark.parametrize("l", [64, 200])
+def test_attention_block_matches_unfused(mask_center, l):
+    args = _block_args(l=l)
+    got = attn_block_pallas.attention_block_packed(*args, mask_center, 2)
+    want = _block_unfused(*args, mask_center, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("mask_center", [False, True])
+def test_attention_block_gradients_match_unfused(mask_center):
+    args = _block_args(seed=3)
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(
+            attn_block_pallas.attention_block_packed(*a, mask_center, 2)))
+
+    def loss_unfused(*a):
+        return jnp.sum(jnp.sin(_block_unfused(*a, mask_center, 2)))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g2 = jax.grad(loss_unfused, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dwq", "dbq", "dwkv", "dbkv", "dwo", "dbo"]
+    for name, got, want in zip(names, g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4,
+            err_msg=f"{name} mismatch")
+
+
+def test_attention_block_bf16_close_to_f32():
+    args32 = _block_args(seed=5)
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args32)
+    got = attn_block_pallas.attention_block_packed(*args16, True, 2)
+    want = _block_unfused(*args32, True, 2)
+    np.testing.assert_allclose(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want),
+        atol=0.06, rtol=0.05)
+
+
+def test_causal_attention_module_fused_block_gate(monkeypatch):
+    """PGT_FUSED_ATTN=1 routes the rank-3 no-extra path through the fused
+    block kernel; output must match the gate-off (unfused flash) path."""
+    from pytorch_generative_tpu import nn as tpu_nn
+
+    attn = tpu_nn.CausalAttention(
+        jax.random.PRNGKey(0), in_channels=32, n_heads=2, mask_center=True,
+        use_flash=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 32)),
+                    jnp.float32)
+    monkeypatch.delenv("PGT_FUSED_ATTN", raising=False)
+    want = attn(x)
+    monkeypatch.setenv("PGT_FUSED_ATTN", "1")
+    got = attn(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
