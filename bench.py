@@ -682,14 +682,16 @@ def main():
         # routing and expert hidden width 4C the ACTIVE FLOPs per token match
         # dense ImageGPT's MLPs exactly (one 4C MLP each), so the dense-ratio
         # emitted with the headline is an at-matched-active-FLOPs comparison.
-        # cf=1.25 is the Switch paper's production capacity factor and
-        # group_size=98 the GShard group-size control; together they cut the
-        # routing overhead from 0.53x to ~0.75x dense on v5e (PERF.md "MoE
-        # routing" has the profile).
+        # cf=1.0 + group_size=98 (GShard group-size control) is the
+        # speed-optimal capacity, and its quality is MEASURED, not estimated:
+        # the bench_quality.py image_gpt_moe_cf1 row converges to NLL 287.2
+        # vs dense ImageGPT's 285.9 at matched active FLOPs (+0.45%, within
+        # tolerance; cf=1.25 row: 284.0, -0.7%). PERF.md "MoE routing" has
+        # the cf/group-size profile (0.53x -> 0.80x dense).
         moe = models.ImageGPTMoE(
             jax.random.PRNGKey(0), in_channels=1, out_channels=1, in_size=28,
             n_transformer_blocks=8, n_attention_heads=2,
-            n_embedding_channels=64, n_experts=8, capacity_factor=1.25,
+            n_embedding_channels=64, n_experts=8, capacity_factor=1.0,
             group_size=98, in_shape=(28, 28, 1))
 
         def moe_loss(x, _, preds):

@@ -125,7 +125,7 @@ def dataset_variant(train_x, eval_x, variant):
 # ---------------------------------------------------------------------------
 
 def run_ours(model_name, spec, train_x, eval_x, backend="cpu",
-             dtype="float32", eval_seeds=8):
+             dtype="float32", eval_seeds=8, init_seed=0):
     import jax
 
     if backend == "cpu":
@@ -146,7 +146,7 @@ def run_ours(model_name, spec, train_x, eval_x, backend="cpu",
     import pytorch_generative_tpu as pgt
     from pytorch_generative_tpu.utils import evaluation
 
-    model = _build_ours(model_name, spec["cfg"], jax.random.PRNGKey(0))
+    model = _build_ours(model_name, spec["cfg"], jax.random.PRNGKey(init_seed))
     flash_used = _assert_flash(model, model_name, backend)
     loss_fn = _loss_ours(model_name)
     batch = spec["batch"]
