@@ -502,9 +502,11 @@ def main():
                     n_residual_blocks=2, attention_key_channels=4,
                     attention_value_channels=32, in_shape=(28, 28, 1))
 
-            # n=16 runs the whole-loop MXU kernel (snail_decode_pallas.py,
-            # gated at n // tile <= 2); n=64 stays on the XLA incremental
-            # sampler, whose batch scaling wins past 2 tiles.
+            # n=16 and n=64 run the whole-loop MXU kernel
+            # (snail_decode_pallas.py, gated at n // tile <= 2; the rolling
+            # two-row conv caches put tile at 32, so n=64 is 2 passes);
+            # larger n stays on the XLA incremental sampler, whose batch
+            # scaling wins past 2 tiles (n=256: 1035 vs 1021 img/s).
             _emit("pixel_snail_sample_throughput", bench_sampler(snail, 16),
                   "images/sec", sample_base)
             _emit("pixel_snail_sample_throughput_n64",

@@ -391,10 +391,11 @@ def pixel_snail_sample_fast(model, rng, n_samples=None, conditioned_on=None,
     if use_loop_kernel is None:
         n = (n_samples if n_samples is not None else conditioned_on.shape[0])
         tile = _snail_loop_tile(model, n)
-        # nt <= 2: unlike ImageGPT's loop kernel (fastest at every n), the
-        # serial-tile passes overtake the XLA path's batch scaling here —
-        # measured at the bench config: n=16 (2 tiles) 210 vs 122 img/s,
-        # n=64 (8 tiles) 332 vs 378.
+        # nt <= 2: the serial-tile passes overtake the XLA path's batch
+        # scaling past two passes — measured at the bench config with the
+        # rolling two-row conv caches (tile=32): n=16 (1 tile) 292 vs 119
+        # img/s, n=64 (2 tiles) 752 vs 373, n=256 (8 tiles) 1021 vs 1035
+        # (XLA's batch scaling wins the near-tie).
         use_loop_kernel = (jax.default_backend() != "cpu"
                            and os.environ.get("PGT_NO_FUSED_DECODE") != "1"
                            and os.environ.get("PGT_SAMPLE_LOOP", "1") != "0"
