@@ -826,8 +826,8 @@ def assemble_rows(cache):
     """Pairs every ours-side cache entry with its torch baseline."""
     rows = {}
     for key, ours in cache.items():
-        if not key.startswith("ours/"):
-            continue
+        if not key.startswith("ours/") or key.count("/") != 3:
+            continue  # model rows only (skips e.g. ours/vq_vae_2_seed_spread)
         _, name, backend, dtype = key.split("/")
         if name.startswith("image_gpt_moe"):
             # Beyond-reference model: the baseline is DENSE ImageGPT (ours,
@@ -926,6 +926,17 @@ def assemble_rows(cache):
             ref_nlls = ([r["nll"] for r in spread2["rows"]]
                         if spread2 else [nll_ref])
             recon_beats_every_seed = nll_ours <= min(ref_nlls)
+            ours2 = _load_cache().get("ours/vq_vae_2_seed_spread")
+            if ours2:
+                # The ours-side 4-seed spread (measured on the TPU): the NLL
+                # distribution sits below the reference's and both levels'
+                # perplexity spreads overlap the reference's — recorded so
+                # readers can judge the seed-to-seed variance on both sides.
+                row["nll_ours_seed_spread"] = [r["nll"]
+                                               for r in ours2["rows"]]
+                for lvl in ("b", "t"):
+                    row[f"perplexity_{lvl}_ours_seed_spread"] = [
+                        r[f"perp_{lvl}"] for r in ours2["rows"]]
             for lvl in ("b", "t"):
                 row[f"perplexity_{lvl}_tpu"] = round(
                     ours[f"perplexity_{lvl}"], 2)
