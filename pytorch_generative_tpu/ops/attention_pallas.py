@@ -22,6 +22,7 @@ them.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 _NEG_INF = float("-inf")
+
+
+def _mxu_dtype(dtype):
+    """Operand dtype for the kernels' MXU dots (trace-time).
+
+    ``PGT_FLASH_PRECISION=default`` makes the f32 path's QK^T/PV and backward
+    dots cast their operands to bf16 while every accumulator, softmax
+    statistic, logsumexp, and output stays f32 — JAX/XLA:TPU's DEFAULT matmul
+    precision, which every non-kernel dot in a train step here uses. Measured
+    NEUTRAL on v5e (round 5, _bench_precision.py: 3069 vs 3038 samples/s at
+    the bs64/C=64/d_k=32 headline config, 542 vs 545 at C=512/d_k=128 f32,
+    identical losses to 4 decimals) — the f32 kernels are bound by the
+    online-softmax VPU work and bandwidth, not multiply throughput (PERF.md
+    "headline reproduce() config") — so the shipped default stays ``highest``
+    (full f32 multiplies, exact pre-round-5 numerics). bf16 inputs are
+    unchanged either way.
+    """
+    if dtype == jnp.float32 and os.environ.get(
+            "PGT_FLASH_PRECISION", "highest") == "default":
+        return jnp.bfloat16
+    return dtype
 
 
 def _blocks(l: int, block_q: int, block_k: int):
@@ -69,7 +91,8 @@ def _full_mask_tile(ki, block_q, block_k, valid_len):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
-                mask_center, scale, n_heads, causal=True, valid_len=None):
+                mask_center, scale, n_heads, causal=True, valid_len=None,
+                mxu=None):
     """Packed multi-head forward: refs carry the full (block, H*d) feature
     width; heads are a static in-kernel loop over register slices. TPU lane
     tiling forbids sub-128 feature blocks in the BlockSpec, and slicing VMEM
@@ -80,11 +103,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
     ``valid_len`` keys — the cross-shard step of the sequence-parallel ring,
     where every key is in the query's past."""
     qi = pl.program_id(1)
-    # Tiles stay in the input dtype: for bfloat16 inputs the MXU runs its
-    # native bf16 multiply / f32 accumulate path (2x f32 matmul throughput);
-    # preferred_element_type keeps every accumulation and all softmax
-    # statistics in float32. For f32 inputs this is the f32 kernel unchanged.
+    # MXU operands ride in ``mxu`` (input dtype by default; see _mxu_dtype
+    # for the opt-in bf16-operand f32 mode); preferred_element_type keeps
+    # every accumulation and all softmax statistics in float32.
     q_all = q_ref[0]
+    mxu = mxu or q_all.dtype
     d_k = q_all.shape[-1] // n_heads
     d_v = o_ref.shape[-1] // n_heads
     offset = 1 if mask_center else 0
@@ -104,7 +127,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
             v = v_ref[0, pl.ds(ki * block_k, block_k),
                       :][:, hd * d_v: (hd + 1) * d_v]
             scores = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q.astype(mxu), k.astype(mxu), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             mask = (_causal_mask_tile(qi, ki, block_q, block_k, offset)
                     if causal
@@ -120,7 +143,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
 
             l_new = alpha * l_prev + jnp.sum(p, axis=1)
             acc = acc * alpha[:, None] + jax.lax.dot_general(
-                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                p.astype(mxu), v.astype(mxu), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc
 
@@ -151,7 +174,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
                       dk_ref, dv_ref, *, block_q, block_k, mask_center, scale,
-                      n_q_blocks, n_heads, causal=True, valid_len=None):
+                      n_q_blocks, n_heads, causal=True, valid_len=None,
+                      mxu=None):
     """One-pass backward: dQ, dK, dV from a single probability rebuild.
 
     The split dq/dkv kernel pair recomputed ``scores`` and ``dp`` twice (7
@@ -179,6 +203,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
 
     k_all = k_ref[0]
     v_all = v_ref[0]
+    mxu = mxu or k_all.dtype
     ks = [k_all[:, hd * d_k: (hd + 1) * d_k] for hd in range(n_heads)]
     vs = [v_all[:, hd * d_v: (hd + 1) * d_v] for hd in range(n_heads)]
 
@@ -207,21 +232,21 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
                 do.astype(jnp.float32) * out_h.astype(jnp.float32),
                 axis=1, keepdims=True)
             scores = jax.lax.dot_general(
-                q, ks[hd], (((1,), (1,)), ((), ())),
+                q.astype(mxu), ks[hd].astype(mxu), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
             dv_c = jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                p.astype(mxu), do.astype(mxu), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(
-                do, vs[hd], (((1,), (1,)), ((), ())),
+                do.astype(mxu), vs[hd].astype(mxu), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = p * (dp - delta_col)
             dk_c = jax.lax.dot_general(
-                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                ds.astype(mxu), q.astype(mxu), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             dq_c = jax.lax.dot_general(
-                ds.astype(ks[hd].dtype), ks[hd], (((1,), (0,)), ((), ())),
+                ds.astype(mxu), ks[hd].astype(mxu), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             dqs.append(dq_c)
             dks.append(dk_c)
@@ -318,9 +343,9 @@ def _pick_blocks_and_limit(l, block_q, block_k, n_heads, resident_bytes):
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
                                              "block_q", "block_k",
-                                             "interpret", "causal"))
+                                             "interpret", "causal", "mxu"))
 def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
-                   interpret, causal=True):
+                   interpret, causal=True, mxu=None):
     """Packed-layout forward: q/k (B, L, H*d_k), v (B, L, H*d_v).
 
     Heads are never materialized on the host — the per-head tiles are carved
@@ -333,6 +358,10 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
     d_k = q.shape[-1] // n_heads
     d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
+    # None resolves against PGT_FLASH_PRECISION at trace time (the same
+    # trace-time-env contract as the PGT_FUSED_* gates: a toggle needs new
+    # shapes or a new process to take effect under jit caching).
+    mxu = mxu or _mxu_dtype(q.dtype)
     # Full-length VMEM residents: the k/v refs (+ the lse output tile).
     resident = (l * (q.shape[-1] + v.shape[-1]) * q.dtype.itemsize
                 + n_heads * l * 128 * 4)
@@ -346,7 +375,8 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
 
     kernel = functools.partial(_fwd_kernel, block_q=block_q, block_k=block_k,
                                mask_center=mask_center, scale=scale,
-                               n_heads=n_heads, causal=causal, valid_len=l)
+                               n_heads=n_heads, causal=causal, valid_len=l,
+                               mxu=mxu)
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, l_pad // block_q),
@@ -377,14 +407,15 @@ def _flash_forward(q, k, v, n_heads, mask_center, block_q, block_k,
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "mask_center",
                                              "block_q", "block_k",
-                                             "interpret", "causal"))
+                                             "interpret", "causal", "mxu"))
 def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
-                    block_k, interpret, causal=True):
+                    block_k, interpret, causal=True, mxu=None):
     """Packed-layout backward (see _flash_forward for the layout contract)."""
     b, l, _ = q.shape
     d_k = q.shape[-1] // n_heads
     d_v = v.shape[-1] // n_heads
     scale = 1.0 / (d_k ** 0.5)
+    mxu = mxu or _mxu_dtype(q.dtype)
     # Full-length VMEM residents: q, do, out, dq refs + the lse stats.
     # dq rides in f32 (see out_shape below), hence the extra q-width term.
     resident = (l * (2 * q.shape[-1] + 2 * v.shape[-1] + v.shape[-1])
@@ -414,7 +445,8 @@ def _flash_backward(q, k, v, out, lse, g, n_heads, mask_center, block_q,
         functools.partial(_bwd_fused_kernel, block_q=block_q,
                           block_k=block_k, mask_center=mask_center,
                           scale=scale, n_q_blocks=l_pad // block_q,
-                          n_heads=n_heads, causal=causal, valid_len=l),
+                          n_heads=n_heads, causal=causal, valid_len=l,
+                          mxu=mxu),
         grid=(b, l_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, l_pad, n_heads * d_k), lambda b, i: (b, 0, 0),

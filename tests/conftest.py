@@ -23,3 +23,9 @@ if os.environ.get("PGT_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Pin the flash kernels' f32 path to full-f32 multiplies: the equality
+# tests compare against TRUE-f32 jnp references on CPU. (This matches the
+# shipped default; the opt-in bf16-operand mode has its own dedicated
+# tolerance test in test_kernels.py.)
+os.environ.setdefault("PGT_FLASH_PRECISION", "highest")

@@ -105,6 +105,41 @@ def test_flash_attention_bf16_tiles_match_f32_reference(mask_center):
             err_msg=f"d{name} mismatch")
 
 
+def test_flash_default_precision_close_to_f32_reference(monkeypatch):
+    """The f32 kernels' opt-in PGT_FLASH_PRECISION=default mode (bf16 MXU
+    operands / f32 accumulation — matching XLA's default matmul precision)
+    must track the true-f32 reference within bf16-operand resolution in
+    values AND gradients. Uses shapes no other test touches: the precision
+    env var is read at trace time, so reusing another test's avals would hit
+    a jit trace made under the conftest's 'highest' pin."""
+    monkeypatch.setenv("PGT_FLASH_PRECISION", "default")
+    q, k, v = _qkv(136, d_k=12, d_v=20, seed=7)
+
+    for mask_center in (False, True):
+        expected = attn_ref.causal_attention(q, k, v, mask_center=mask_center)
+        got = attention_pallas.flash_causal_attention(
+            q, k, v, mask_center=mask_center, interpret=True)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=3e-2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                attn_ref.causal_attention(q, k, v, mask_center) ** 2)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(attention_pallas.causal_attention_trainable(
+                q, k, v, mask_center) ** 2)
+
+        grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        grads_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for got_g, want_g, name in zip(grads_flash, grads_ref, "qkv"):
+            scale = np.abs(np.asarray(want_g)).max()
+            np.testing.assert_allclose(
+                np.asarray(got_g) / scale, np.asarray(want_g) / scale,
+                atol=4e-2, err_msg=f"d{name} mismatch (mask={mask_center})")
+
+
 @pytest.mark.parametrize("mask_center,extra", [(False, 0), (True, 2)])
 def test_causal_attention_module_flash_packed_path(mask_center, extra):
     """nn.CausalAttention's packed flash path (no host-side head transposes)
