@@ -928,7 +928,8 @@ def assemble_rows(cache):
             recon_beats_every_seed = nll_ours <= min(ref_nlls)
             ours2 = _load_cache().get("ours/vq_vae_2_seed_spread")
             if ours2:
-                # The ours-side 4-seed spread (measured on the TPU): the NLL
+                # The ours-side 4-seed spread (measured on the TPU by
+                # tools/probes/spread_vq2_ours.py): the NLL
                 # distribution sits below the reference's and both levels'
                 # perplexity spreads overlap the reference's — recorded so
                 # readers can judge the seed-to-seed variance on both sides.

@@ -41,7 +41,7 @@ def _mxu_dtype(dtype):
     dots cast their operands to bf16 while every accumulator, softmax
     statistic, logsumexp, and output stays f32 — JAX/XLA:TPU's DEFAULT matmul
     precision, which every non-kernel dot in a train step here uses. Measured
-    NEUTRAL on v5e (round 5, _bench_precision.py: 3069 vs 3038 samples/s at
+    NEUTRAL on v5e (round 5, tools/probes/bench_precision.py: 3069 vs 3038 samples/s at
     the bs64/C=64/d_k=32 headline config, 542 vs 545 at C=512/d_k=128 f32,
     identical losses to 4 decimals) — the f32 kernels are bound by the
     online-softmax VPU work and bandwidth, not multiply throughput (PERF.md

@@ -219,7 +219,7 @@ def _bwd_kernel_pipelined(x_ref, do_ref, dop_ref, g_ref, b_ref, w1_ref,
     hazard on the shared scratch serialized the halves) and dynamically
     indexed parity buffers ``scr[step % 2]`` (4.72 ms — runtime indices defeat
     disjointness analysis, so the conservative hazard remains). The
-    _probe_overlap.py microbenchmark shows Mosaic overlaps MXU and VPU issue
+    tools/probes/probe_overlap.py microbenchmark shows Mosaic overlaps MXU and VPU issue
     at 99.4% for hazard-free work in one body (matmul-only 2.452 ms +
     VPU-only 2.067 ms -> both 2.464 ms), so static disjointness is the
     precondition for the scheduler to overlay the halves.

@@ -3,6 +3,8 @@ train step at the C=512 production point and the reproduce() headline config.
 
 Env knobs: BS (64), C (512), H (4), NB (8), DTYPE (bf16).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import os, time, json
 import jax, jax.numpy as jnp, numpy as np
 import optax

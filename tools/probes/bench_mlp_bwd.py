@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import os, time, json
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -4,6 +4,8 @@ Run once per setting (separate processes: the precision is read at trace
 time and the packed wrappers are jitted, so one process = one setting).
 Env knobs: BS (64), C (64), H (2), NB (8).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import json
 import os
 import time

@@ -7,6 +7,8 @@ If t(c) ~= a + b: MXU/VPU issue is serial within a kernel body, the
 VPU/MXU serialization in the fused backward is a hardware/compiler floor,
 and the remedy must REDUCE VPU work, not rearrange it.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import time, json, functools
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl

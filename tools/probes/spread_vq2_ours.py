@@ -1,6 +1,8 @@
 """Measure this build's VQ-VAE-2 across init seeds on the TPU and cache the
 spread (``ours/vq_vae_2_seed_spread``) — the ours-side counterpart of the
 reference seed spread backing the codebook-health gate."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
 import json
 import time
 
