@@ -56,9 +56,12 @@ def _emit(metric, value, unit, baseline=None, **extra):
     # The driver's stdout capture keeps only the last ~20 lines; mirror the
     # COMPLETE per-metric set to BENCH_FULL.json (rewritten after every
     # metric so a timeout/kill still leaves everything measured so far).
+    # BENCH_FAST A/B runs emit only 2 metrics — don't let them clobber the
+    # committed full matrix.
     _ALL_RECORDS.append(rec)
-    with open(_FULL_PATH, "w") as f:
-        json.dump(_ALL_RECORDS, f, indent=1)
+    if os.environ.get("BENCH_FAST") != "1":
+        with open(_FULL_PATH, "w") as f:
+            json.dump(_ALL_RECORDS, f, indent=1)
 
 
 def image_gpt_train_flops_per_sample(n_blocks=8, n_heads=2, c=64, l=784,

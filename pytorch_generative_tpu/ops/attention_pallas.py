@@ -26,12 +26,19 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 _NEG_INF = float("-inf")
+# Base-2 softmax domain (see _fwd_kernel): exp2 is the VPU's transcendental
+# primitive, so running the online softmax on s2 = s * log2(e) — with the
+# constant folded into q's 1/sqrt(d_k) scale — removes two tile-area VPU
+# passes per (q, k) tile from each kernel.
+_LOG2E = float(np.log2(np.e))
+_LN2 = float(np.log(2.0))
 
 
 def _mxu_dtype(dtype):
@@ -118,7 +125,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
 
     outs, lses = [], []
     for hd in range(n_heads):
-        q = q_all[:, hd * d_k: (hd + 1) * d_k]
+        # The softmax runs in the base-2 domain: scale * log2(e) is folded
+        # into q ONCE per (head, q-tile) — a (block_q, d_k) multiply — so the
+        # inner loop's tile-area (block_q, block_k) work drops the post-dot
+        # `* scale` pass AND exp's internal x*log2e multiply (the VPU's
+        # transcendental primitive is pow2). At d_k=32 that's 2 of ~8
+        # tile-area VPU passes in a kernel the headline profile shows is
+        # VPU-bound (PERF.md "headline reproduce() config"). Mathematically
+        # sum exp2(s2 - m2) == sum exp(s - m); numerically the base change
+        # moves low bits only (folded-constant rounding, ~1 ulp).
+        q = (q_all[:, hd * d_k: (hd + 1) * d_k].astype(jnp.float32)
+             * (scale * _LOG2E)).astype(mxu)
 
         def body(ki, carry):
             m_prev, l_prev, acc = carry
@@ -127,8 +144,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
             v = v_ref[0, pl.ds(ki * block_k, block_k),
                       :][:, hd * d_v: (hd + 1) * d_v]
             scores = jax.lax.dot_general(
-                q.astype(mxu), k.astype(mxu), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                q, k.astype(mxu), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             mask = (_causal_mask_tile(qi, ki, block_q, block_k, offset)
                     if causal
                     else _full_mask_tile(ki, block_q, block_k, valid_len))
@@ -138,8 +155,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
             m_new = jnp.maximum(m_prev, m_cur)
             m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
             alpha = jnp.where(jnp.isfinite(m_prev),
-                              jnp.exp(m_prev - m_safe), 0.0)
-            p = jnp.where(mask, jnp.exp(scores - m_safe[:, None]), 0.0)
+                              jnp.exp2(m_prev - m_safe), 0.0)
+            # No mask-where on p: masked entries hold -inf from the scores
+            # where above and exp2(-inf - finite) == 0 exactly (fully-masked
+            # rows keep m_safe == 0, so the argument is still -inf).
+            p = jnp.exp2(scores - m_safe[:, None])
 
             l_new = alpha * l_prev + jnp.sum(p, axis=1)
             acc = acc * alpha[:, None] + jax.lax.dot_general(
@@ -150,14 +170,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_q, block_k,
         m0 = jnp.full((block_q,), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((block_q,), jnp.float32)
         acc0 = jnp.zeros((block_q, d_v), jnp.float32)
+        # Measured rejection (round 5): splitting this loop into a mask-free
+        # prefix (k-blocks entirely below the causal diagonal) + masked tail
+        # lost ~2.5% f32 / ~4% bf16 at the headline config — with
+        # exact-divisor blocks there are only 2 k-blocks per q-tile, so the
+        # second fori_loop's setup outweighs skipping ~5 tile-area VPU
+        # passes on at most one block (PERF.md, "What was measured and
+        # rejected").
         m, l, acc = jax.lax.fori_loop(0, n_k_blocks, body, (m0, l0, acc0))
 
         # Fully-masked rows (l == 0) output exactly 0 (reference NaN-row
         # behavior, nn/attention.py:154-157); their lse stays -inf so
         # backward zeroes them.
         outs.append(acc / jnp.where(l == 0.0, 1.0, l)[:, None])
+        # The stored lse stays in the NATURAL-log domain (the ring
+        # attention's cross-shard merge and the backward contract both
+        # consume it as ln): lse = ln2 * m2 + ln(l).
         lse = jnp.where(l == 0.0, _NEG_INF,
-                        m + jnp.log(jnp.maximum(l, 1e-38)))
+                        m * _LN2 + jnp.log(jnp.maximum(l, 1e-38)))
         # Stats live lane-replicated ((block_q, 128) tiles per head): the
         # lane dim is always 128-aligned, so block_q is free to be any
         # multiple of 8 — which lets _pick_blocks choose exact divisors of L
@@ -221,20 +251,27 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
             q = q_rows[:, hd * d_k: (hd + 1) * d_k]
             do = do_rows[:, hd * d_v: (hd + 1) * d_v]
             out_h = out_rows[:, hd * d_v: (hd + 1) * d_v]
+            # Base-2 probability rebuild, mirroring the forward: scale *
+            # log2(e) folds into q (a (block_q, d_k) multiply), the stored
+            # natural-log lse converts per-row, and the tile-area post-dot
+            # `* scale` and exp-internal multiply disappear. dk needs
+            # dot(ds, q) * scale = dot(ds, q2) * ln2 since q2 already
+            # carries scale * log2e.
+            q2 = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(mxu)
             # Stats are lane-replicated (block_q, 128) tiles; a lane
             # reduction recovers the column (all lanes equal, -inf-safe).
             lse_col = jnp.max(
                 lse_ref[0, hd, pl.ds(qi * block_q, block_q), :].astype(
                     jnp.float32), axis=1, keepdims=True)
-            finite = jnp.isfinite(lse_col)
-            lse_safe = jnp.where(finite, lse_col, 0.0)
             delta_col = jnp.sum(
                 do.astype(jnp.float32) * out_h.astype(jnp.float32),
                 axis=1, keepdims=True)
             scores = jax.lax.dot_general(
-                q.astype(mxu), ks[hd].astype(mxu), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            p = jnp.where(mask & finite, jnp.exp(scores - lse_safe), 0.0)
+                q2, ks[hd].astype(mxu), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            finite = jnp.isfinite(lse_col)
+            lse_safe = jnp.where(finite, lse_col * _LOG2E, 0.0)
+            p = jnp.where(mask & finite, jnp.exp2(scores - lse_safe), 0.0)
             dv_c = jax.lax.dot_general(
                 p.astype(mxu), do.astype(mxu), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -243,8 +280,8 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
                 preferred_element_type=jnp.float32)
             ds = p * (dp - delta_col)
             dk_c = jax.lax.dot_general(
-                ds.astype(mxu), q.astype(mxu), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                ds.astype(mxu), q2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * _LN2
             dq_c = jax.lax.dot_general(
                 ds.astype(mxu), ks[hd].astype(mxu), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
@@ -260,6 +297,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, dq_ref,
 
     dk0 = jnp.zeros((block_k, n_heads * d_k), jnp.float32)
     dv0 = jnp.zeros((block_k, n_heads * d_v), jnp.float32)
+    # Mask-free/masked loop split rejected here too — see the forward.
     dk, dv = jax.lax.fori_loop(first_q, n_q_blocks, body, (dk0, dv0))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
