@@ -292,8 +292,17 @@ def test_whole_loop_backend_gates(monkeypatch):
     sampling_ops.pixel_snail_sample_fast(s, jax.random.PRNGKey(0),
                                          n_samples=16)
     assert snail_routes == ["loop"]
+    # Round 5's rolling two-row conv caches cut the kernel's VMEM 14.5x, so
+    # the tile picker reaches 32 at this config and the loop kernel now wins
+    # n=64 too (2 tile passes; measured 752 vs 373 img/s). The XLA path
+    # keeps larger batches (n // tile > 2), where its batch scaling wins.
     tile64 = sampling_ops._snail_loop_tile(s, 64)
-    assert tile64 is not None and 64 // tile64 > 2  # XLA path keeps n=64
+    assert tile64 is not None and 64 // tile64 <= 2
+    sampling_ops.pixel_snail_sample_fast(s, jax.random.PRNGKey(0),
+                                         n_samples=64)
+    assert snail_routes == ["loop", "loop"]
+    tile256 = sampling_ops._snail_loop_tile(s, 256)
+    assert tile256 is not None and 256 // tile256 > 2  # XLA keeps n=256
     # (not invoked: the XLA fallback would trace the full scan; the gate
     # decision alone is what this test pins.)
 
