@@ -20,6 +20,13 @@ environment set and add `jax.distributed.initialize()` (or use
 with no other changes.
 """
 
+import os
+import sys
+
+# Runnable uninstalled: `python examples/<name>.py` puts examples/ on
+# sys.path, not the repo root that holds the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax
